@@ -1,0 +1,223 @@
+"""Differentiable per-Gaussian preprocessing: projection, covariance, culling.
+
+Pure-JAX re-derivation of the reference preprocess kernel
+(cuda_rasterizer/forward.cu:63-246 and auxiliary.h:30-153). Everything here
+is composed of differentiable jnp ops, so jax.grad reproduces the
+reference's hand-written backward (backward.cu:133-386) — including the
+FoV-clamp gradient gating (the clamp is in the forward) and the projection
+chain rule — without a custom VJP.
+
+Conventions (identical to the reference; see data/cameras.py):
+- world_view: 4x4 math-convention world→view (p_view = W @ p_h).
+- full_proj:  4x4 math-convention world→clip (p_hom = P @ W @ p_h).
+- NDC→pixel: ((v + 1) * S - 1) / 2               (auxiliary.h:30-33)
+- view-frustum cull: p_view.z <= 0.2             (auxiliary.h:143)
+- EWA: cov2D = J R_wv Σ R_wvᵀ Jᵀ with the 1.3·tanfov clamp on view-space
+  x/y, and `low_pass` added to the diagonal      (forward.cu:63-102)
+- conic = inverse(cov2D); radius = ceil(3·sqrt(λmax)), eigenvalues through
+  sqrt(max(0.1, mid²−det))                       (forward.cu:209-222)
+- 16x16 pixel tiles; rect clamped to the tile grid (auxiliary.h:35-45)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rain_tpu.ops import sh as sh_ops
+
+TILE = 16          # BLOCK_X == BLOCK_Y == 16 (config.h:4-5)
+NEAR_Z = 0.2       # frustum cull threshold (auxiliary.h:143)
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (all [N, ...])."""
+
+    xy: jnp.ndarray            # [N, 2] pixel-space mean (differentiable)
+    depth: jnp.ndarray         # [N]   view-space z (differentiable)
+    conic: jnp.ndarray         # [N, 3] (a, b, c) of inverse 2D covariance
+    rgb: jnp.ndarray           # [N, 3] SH-evaluated color (differentiable)
+    opacity: jnp.ndarray       # [N]   post-sigmoid opacity (differentiable)
+    radii: jnp.ndarray         # [N]   int32 screen radius, 0 = culled
+    rect_min: jnp.ndarray      # [N, 2] int32 (tx0, ty0) tile rect
+    rect_wh: jnp.ndarray       # [N, 2] int32 (w, h) tile rect size
+    tiles_touched: jnp.ndarray  # [N] int32 = w*h (0 if culled)
+
+
+def quat_scale_to_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,
+                        scale_modifier: float = 1.0) -> jnp.ndarray:
+    """3D covariance Σ = (S·R)ᵀ(S·R) packed as 6 uniques (forward.cu:107-141).
+
+    Args:
+      scale: [N, 3] post-activation (exp) scales.
+      quat: [N, 4] (r, x, y, z) — normalized by the caller (the model's
+        rotation activation), matching the reference which normalizes in
+        Python before the kernel.
+    Returns:
+      [N, 6]: (Σ00, Σ01, Σ02, Σ11, Σ12, Σ22).
+    """
+    r, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    # Rotation matrix rows (forward.cu:123-127, glm column-major transposed
+    # to math convention — same entries as utils/general_utils.py:52-73).
+    R = jnp.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+    ], axis=-1).reshape(-1, 3, 3)
+    s = scale_modifier * scale                     # [N, 3]
+    M = R * s[:, None, :]                          # columns scaled: M = R·S
+    sigma = M @ jnp.swapaxes(M, 1, 2)              # Σ = M Mᵀ = R S² Rᵀ
+    return jnp.stack([sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
+                      sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]],
+                     axis=-1)
+
+
+def project_cov2d(mean_view: jnp.ndarray, cov3d: jnp.ndarray,
+                  world_view: jnp.ndarray, focal_x, focal_y,
+                  tan_fovx, tan_fovy, low_pass) -> jnp.ndarray:
+    """EWA projection of Σ to a 2D screen covariance (forward.cu:63-102).
+
+    Args:
+      mean_view: [N, 3] view-space means (pre-clamp).
+      cov3d: [N, 6] packed symmetric Σ.
+      world_view: [4, 4].
+    Returns:
+      [N, 3]: (cov_xx, cov_xy, cov_yy) with low_pass added to the diagonal.
+    """
+    tz = mean_view[:, 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    tx = jnp.clip(mean_view[:, 0] / tz, -limx, limx) * tz
+    ty = jnp.clip(mean_view[:, 1] / tz, -limy, limy) * tz
+
+    # J rows = d(pix_unscaled)/d(view xyz) — the standard EWA Jacobian.
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    zeros = jnp.zeros_like(tz)
+    J = jnp.stack([
+        focal_x * inv_tz, zeros, -(focal_x * tx) * inv_tz2,
+        zeros, focal_y * inv_tz, -(focal_y * ty) * inv_tz2,
+    ], axis=-1).reshape(-1, 2, 3)
+
+    Rwv = world_view[:3, :3]                       # [3, 3]
+    M = J @ Rwv                                    # [N, 2, 3]
+
+    c = cov3d
+    sigma = jnp.stack([c[:, 0], c[:, 1], c[:, 2],
+                       c[:, 1], c[:, 3], c[:, 4],
+                       c[:, 2], c[:, 4], c[:, 5]], axis=-1).reshape(-1, 3, 3)
+    cov = M @ sigma @ jnp.swapaxes(M, 1, 2)        # [N, 2, 2]
+    return jnp.stack([cov[:, 0, 0] + low_pass, cov[:, 0, 1],
+                      cov[:, 1, 1] + low_pass], axis=-1)
+
+
+def ndc_to_pix(v: jnp.ndarray, size) -> jnp.ndarray:
+    return ((v + 1.0) * size - 1.0) * 0.5          # auxiliary.h:30-33
+
+
+def preprocess(means3d: jnp.ndarray,
+               scales: jnp.ndarray,
+               quats: jnp.ndarray,
+               opacities: jnp.ndarray,
+               shs: jnp.ndarray,
+               alive: jnp.ndarray,
+               *,
+               sh_degree: int,
+               world_view: jnp.ndarray,
+               full_proj: jnp.ndarray,
+               camera_center: jnp.ndarray,
+               tan_fovx, tan_fovy,
+               width: int, height: int,
+               low_pass=0.3,
+               scale_modifier: float = 1.0,
+               colors_override: jnp.ndarray | None = None,
+               cov3d_override: jnp.ndarray | None = None,
+               tile_bounds: tuple[int, int, int, int] | None = None,
+               ) -> Preprocessed:
+    """Vectorized, differentiable equivalent of preprocessCUDA.
+
+    Args:
+      means3d: [N, 3]; scales: [N, 3] (post-exp); quats: [N, 4] (normalized);
+      opacities: [N] (post-sigmoid); shs: [N, K, 3]; alive: [N] bool mask
+        for live capacity slots (dead slots are culled).
+      sh_degree: active SH degree (static).
+      width/height: image size in pixels (static).
+      colors_override: optional [N, 3] precomputed colors (skips SH).
+      cov3d_override: optional [N, 6] precomputed 3D covariance.
+      tile_bounds: optional (tx0, ty0, tx1, ty1) restriction of the tile
+        grid — used by the multi-chip row-sharded path, where each shard
+        only bins Gaussians against its own band of tiles. The rect is
+        intersected with these bounds (and tile coordinates stay global).
+
+    Returns: Preprocessed arrays; culled/dead entries have radii == 0 and
+      tiles_touched == 0 (matching forward.cu:178-179).
+    """
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+    focal_x = width / (2.0 * tan_fovx)
+    focal_y = height / (2.0 * tan_fovy)
+
+    ones = jnp.ones_like(means3d[:, :1])
+    p_h = jnp.concatenate([means3d, ones], axis=-1)          # [N, 4]
+    p_view = p_h @ world_view[:3, :].T                        # [N, 3]
+    p_hom = p_h @ full_proj.T                                 # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)                          # forward.cu:189
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    in_front = p_view[:, 2] > NEAR_Z                          # auxiliary.h:143
+
+    if cov3d_override is None:
+        cov3d = quat_scale_to_cov3d(scales, quats, scale_modifier)
+    else:
+        cov3d = cov3d_override
+    cov = project_cov2d(p_view, cov3d, world_view, focal_x, focal_y,
+                        tan_fovx, tan_fovy, low_pass)
+
+    det = cov[:, 0] * cov[:, 2] - cov[:, 1] * cov[:, 1]
+    det_ok = det != 0.0                                       # forward.cu:210
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([cov[:, 2] * det_inv, -cov[:, 1] * det_inv,
+                       cov[:, 0] * det_inv], axis=-1)
+
+    mid = 0.5 * (cov[:, 0] + cov[:, 2])
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lambda1))              # forward.cu:222
+
+    xy = jnp.stack([ndc_to_pix(p_proj[:, 0], width),
+                    ndc_to_pix(p_proj[:, 1], height)], axis=-1)
+
+    # Tile rect (auxiliary.h:35-45). Clamp handles the C trunc-vs-floor
+    # division difference (both land at the clamp for negatives).
+    if tile_bounds is None:
+        bx0, by0, bx1, by1 = 0, 0, grid_x, grid_y
+    else:
+        bx0, by0, bx1, by1 = tile_bounds
+    rx0 = jnp.clip(jnp.floor((xy[:, 0] - radius_f) / TILE), bx0, bx1)
+    ry0 = jnp.clip(jnp.floor((xy[:, 1] - radius_f) / TILE), by0, by1)
+    rx1 = jnp.clip(jnp.floor((xy[:, 0] + radius_f + TILE - 1) / TILE), bx0, bx1)
+    ry1 = jnp.clip(jnp.floor((xy[:, 1] + radius_f + TILE - 1) / TILE), by0, by1)
+    rect_w = (rx1 - rx0).astype(jnp.int32)
+    rect_h = (ry1 - ry0).astype(jnp.int32)
+    has_area = (rect_w * rect_h) > 0                          # forward.cu:226
+
+    visible = alive & in_front & det_ok & has_area
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    tiles_touched = jnp.where(visible, rect_w * rect_h, 0).astype(jnp.int32)
+
+    if colors_override is None:
+        rgb = sh_ops.sh_to_rgb(sh_degree, shs, means3d, camera_center)
+    else:
+        rgb = colors_override
+
+    return Preprocessed(
+        xy=xy,
+        depth=p_view[:, 2],
+        conic=conic,
+        rgb=rgb,
+        opacity=opacities,
+        radii=radii,
+        rect_min=jnp.stack([rx0, ry0], axis=-1).astype(jnp.int32),
+        rect_wh=jnp.stack([rect_w, rect_h], axis=-1),
+        tiles_touched=tiles_touched,
+    )

@@ -1,0 +1,141 @@
+"""The full differentiable render pipeline (preprocess → bin → composite).
+
+Counterpart of the reference render API + rasterizer orchestration
+(gaussian_renderer/__init__.py:9-79, rasterizer_impl.cu:187-330), returning
+the same bundle: render, viewspace gradient tap, visibility, radii, depth.
+
+Differentiability map:
+- preprocess: pure JAX → autodiff (replaces backward.cu:133-386).
+- binning: integer-only, no gradients (sorting is not differentiable in
+  the reference either — the backward replays the forward's sorted lists).
+- instance gather: jnp gather; its VJP is a deterministic scatter-add that
+  reduces per-instance gradients to per-Gaussian gradients (replaces the
+  CUDA atomicAdd reduction, backward.cu:513-544).
+- composite: Pallas custom-VJP kernel (ops.tile_render).
+
+``xy_tap`` plays the role of the reference's ``screenspace_points`` dummy
+(gaussian_renderer/__init__.py:10-14): pass zeros [N, 2] and differentiate
+w.r.t. it to obtain the per-Gaussian screen-space gradient used by the
+densification statistics. It is in *pixel* units; multiply by
+(W/2, H/2) to match the reference's NDC-scaled accumulation
+(backward.cu:450-451,535-536).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rain_tpu.ops import binning as binning_ops
+from rain_tpu.ops import projection as proj_ops
+from rain_tpu.ops import tile_render
+from rain_tpu.ops.projection import TILE
+
+
+class RenderOutput(NamedTuple):
+    render: jnp.ndarray        # [3, H, W] color (background applied)
+    depth: jnp.ndarray         # [1, H, W] alpha-weighted depth (no grad)
+    alpha: jnp.ndarray         # [H, W] accumulated alpha (no grad)
+    final_t: jnp.ndarray       # [H, W] final transmittance
+    radii: jnp.ndarray         # [N] int32 (visibility_filter = radii > 0)
+    n_contrib: jnp.ndarray     # [H, W] int32
+    num_instances: jnp.ndarray  # scalar int32
+    overflow: jnp.ndarray      # scalar bool
+
+
+def render_tiles(prep: proj_ops.Preprocessed,
+                 xy_tap: jnp.ndarray | None,
+                 *,
+                 grid_x: int, grid_y: int,
+                 ty0: int, ty1: int,
+                 max_instances: int):
+    """Composite a horizontal band of tile rows [ty0, ty1).
+
+    Returns tiles [n_band_tiles, 256, 8] plus (num_instances, overflow).
+    The single-chip path uses the full band; the sharded path gives each
+    chip its own band.
+    """
+    n = prep.depth.shape[0]
+    n_tiles = (ty1 - ty0) * grid_x
+    binn = binning_ops.bin_gaussians(
+        prep, grid_x, grid_y, max_instances,
+        tile_offset=ty0 * grid_x, n_tiles=n_tiles)
+
+    xy = prep.xy if xy_tap is None else prep.xy + xy_tap
+
+    gidx = binn.gauss_idx                       # [M], == n for padding
+
+    def gather(x):
+        pad = jnp.zeros_like(x[:1])
+        return jnp.concatenate([x, pad], axis=0)[gidx]
+
+    tid = jnp.minimum(binn.tile_id, n_tiles - 1)
+    tx = tid % grid_x
+    ty = tid // grid_x + ty0
+    origin = jnp.stack([tx * TILE, ty * TILE], axis=-1).astype(jnp.float32)
+    xy_local = gather(xy) - origin
+
+    tiles = tile_render.composite(
+        xy_local, gather(prep.conic), gather(prep.opacity),
+        gather(prep.rgb), gather(prep.depth),
+        binn.tile_start, binn.tile_end)
+    return tiles, binn.num_instances, binn.overflow
+
+
+def assemble_image(tiles: jnp.ndarray, grid_x: int, n_rows: int,
+                   height: int, width: int) -> jnp.ndarray:
+    """[n_rows*grid_x, 256, 8] tiles → [height, width, 8] image band."""
+    img = tiles.reshape(n_rows, grid_x, TILE, TILE, 8)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(n_rows * TILE,
+                                               grid_x * TILE, 8)
+    return img[:height, :width]
+
+
+def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
+           *,
+           camera: dict,
+           width: int, height: int,
+           sh_degree: int,
+           bg: jnp.ndarray,
+           low_pass=0.3,
+           scale_modifier: float = 1.0,
+           max_instances: int,
+           xy_tap: jnp.ndarray | None = None,
+           colors_override: jnp.ndarray | None = None,
+           cov3d_override: jnp.ndarray | None = None) -> RenderOutput:
+    """Render one view. All post-activation inputs (see model.gaussians).
+
+    camera: dict from data.cameras.Camera.render_inputs().
+    """
+    grid_x = (width + TILE - 1) // TILE
+    grid_y = (height + TILE - 1) // TILE
+
+    prep = proj_ops.preprocess(
+        means3d, scales_act, quats_act, opacity_act, shs, alive,
+        sh_degree=sh_degree,
+        world_view=camera["world_view"],
+        full_proj=camera["full_proj"],
+        camera_center=camera["camera_center"],
+        tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
+        width=width, height=height,
+        low_pass=low_pass, scale_modifier=scale_modifier,
+        colors_override=colors_override, cov3d_override=cov3d_override)
+
+    tiles, num_instances, overflow = render_tiles(
+        prep, xy_tap, grid_x=grid_x, grid_y=grid_y, ty0=0, ty1=grid_y,
+        max_instances=max_instances)
+
+    img = assemble_image(tiles, grid_x, grid_y, height, width)
+    color = img[..., 0:3] + img[..., tile_render.CH_T:tile_render.CH_T + 1] \
+        * bg[None, None, :]
+    return RenderOutput(
+        render=color.transpose(2, 0, 1),
+        depth=img[..., tile_render.CH_DEPTH][None],
+        alpha=img[..., tile_render.CH_ALPHA],
+        final_t=img[..., tile_render.CH_T],
+        radii=prep.radii,
+        n_contrib=img[..., tile_render.CH_NCONTRIB].astype(jnp.int32),
+        num_instances=num_instances,
+        overflow=overflow,
+    )

@@ -191,7 +191,8 @@ def densify_and_prune(state: GaussianState, opt: adam_mod.AdamState,
     stds = jnp.exp(params.scaling)                     # activated scales
     samples = jax.random.normal(key, (n_split, cap, 3)) * stds[None]
     rots = _rotmat(params.rotation)
-    offsets = jnp.einsum("cij,scj->sci", rots, samples)
+    offsets = jnp.einsum("cij,scj->sci", rots, samples,
+                         precision=jax.lax.Precision.HIGHEST)
     # scales / (divide_ratio * N), in log space (gaussian_model.py:377)
     new_scaling = params.scaling - jnp.log(divide_ratio * n_split)
     split_leaves = GaussianParams(

@@ -83,7 +83,7 @@ def _dead_fill(capacity: int, sh_rest: int) -> GaussianParams:
 
 def create_from_pcd(points: np.ndarray, colors: np.ndarray, *,
                     sh_degree: int, capacity: int,
-                    knn_window: int = 64) -> GaussianState:
+                    knn_window: int = 0) -> GaussianState:
     """Initialize from a point cloud (gaussian_model.py:114-137).
 
     Scales: log(sqrt(mean squared 3-NN distance)) per point, floored at
@@ -96,7 +96,11 @@ def create_from_pcd(points: np.ndarray, colors: np.ndarray, *,
     params = _dead_fill(capacity, k - 1)
 
     pts = jnp.asarray(points, jnp.float32)
-    dist2 = jnp.maximum(knn_ops.mean_dist3(pts, window=knn_window), 1e-7)
+    if knn_window > 0:
+        d2 = knn_ops.mean_dist3(pts, window=knn_window)
+    else:
+        d2 = knn_ops.mean_dist3_auto(pts)
+    dist2 = jnp.maximum(d2, 1e-7)
     scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
     f_dc = sh_ops.rgb_to_sh_dc(jnp.asarray(colors, jnp.float32))[:, None, :]
     opac = inverse_sigmoid(0.1) * jnp.ones((n, 1), jnp.float32)

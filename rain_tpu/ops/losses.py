@@ -50,7 +50,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
             x, kernel, window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
             feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
 
     mu1 = conv(img1)
     mu2 = conv(img2)

@@ -23,9 +23,15 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from rain_tpu.ops import sh as sh_ops
+
+# TPU XLA lowers f32 matmuls to bfloat16 MXU passes by default; the
+# projection/covariance products need full f32 to match the reference's
+# scalar CUDA math (and the CPU path), so all matmuls here run HIGHEST.
+_HI = jax.lax.Precision.HIGHEST
 
 TILE = 16          # BLOCK_X == BLOCK_Y == 16 (config.h:4-5)
 NEAR_Z = 0.2       # frustum cull threshold (auxiliary.h:143)
@@ -67,7 +73,7 @@ def quat_scale_to_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,
     ], axis=-1).reshape(-1, 3, 3)
     s = scale_modifier * scale                     # [N, 3]
     M = R * s[:, None, :]                          # columns scaled: M = R·S
-    sigma = M @ jnp.swapaxes(M, 1, 2)              # Σ = M Mᵀ = R S² Rᵀ
+    sigma = jnp.matmul(M, jnp.swapaxes(M, 1, 2), precision=_HI)              # Σ = M Mᵀ = R S² Rᵀ
     return jnp.stack([sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
                       sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]],
                      axis=-1)
@@ -85,7 +91,10 @@ def project_cov2d(mean_view: jnp.ndarray, cov3d: jnp.ndarray,
     Returns:
       [N, 3]: (cov_xx, cov_xy, cov_yy) with low_pass added to the diagonal.
     """
-    tz = mean_view[:, 2]
+    # Guard tz for rows behind/at the camera plane: they are culled by
+    # the in_front mask, but autodiff of 1/tz at tz == 0 would otherwise
+    # leak NaN into their (zero-cotangent) gradients (0 * inf = NaN).
+    tz = jnp.where(mean_view[:, 2] > NEAR_Z, mean_view[:, 2], 1.0)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tx = jnp.clip(mean_view[:, 0] / tz, -limx, limx) * tz
@@ -101,13 +110,14 @@ def project_cov2d(mean_view: jnp.ndarray, cov3d: jnp.ndarray,
     ], axis=-1).reshape(-1, 2, 3)
 
     Rwv = world_view[:3, :3]                       # [3, 3]
-    M = J @ Rwv                                    # [N, 2, 3]
+    M = jnp.matmul(J, Rwv, precision=_HI)          # [N, 2, 3]
 
     c = cov3d
     sigma = jnp.stack([c[:, 0], c[:, 1], c[:, 2],
                        c[:, 1], c[:, 3], c[:, 4],
                        c[:, 2], c[:, 4], c[:, 5]], axis=-1).reshape(-1, 3, 3)
-    cov = M @ sigma @ jnp.swapaxes(M, 1, 2)        # [N, 2, 2]
+    cov = jnp.matmul(jnp.matmul(M, sigma, precision=_HI),
+                     jnp.swapaxes(M, 1, 2), precision=_HI)
     return jnp.stack([cov[:, 0, 0] + low_pass, cov[:, 0, 1],
                       cov[:, 1, 1] + low_pass], axis=-1)
 
@@ -160,8 +170,9 @@ def preprocess(means3d: jnp.ndarray,
 
     ones = jnp.ones_like(means3d[:, :1])
     p_h = jnp.concatenate([means3d, ones], axis=-1)          # [N, 4]
-    p_view = p_h @ world_view[:3, :].T                        # [N, 3]
-    p_hom = p_h @ full_proj.T                                 # [N, 4]
+    p_view = jnp.matmul(p_h, world_view[:3, :].T,
+                        precision=_HI)                        # [N, 3]
+    p_hom = jnp.matmul(p_h, full_proj.T, precision=_HI)       # [N, 4]
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)                          # forward.cu:189
     p_proj = p_hom[:, :3] * p_w[:, None]
 

@@ -10,6 +10,7 @@ dependence of the gradient w.r.t. the Gaussian mean.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -95,7 +96,13 @@ def sh_to_rgb(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
       rgb [N, 3] >= 0.
     """
     d = means - campos[None, :]
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # zero-length guard: dead capacity slots can sit exactly at the camera
+    # center; their gradients are masked but must not become NaN. The
+    # guard must be inside the sqrt as well (the gradient of norm at 0 is
+    # NaN even under a zero cotangent).
+    sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(jnp.where(sq > 0, sq, 1.0))
+    d = jnp.where(sq > 0, d * inv, 0.0)
     rgb = eval_sh(deg, sh, d) + 0.5
     return jnp.maximum(rgb, 0.0)
 

@@ -145,7 +145,8 @@ def _chunk_alpha(pack_c, pixquad, start, end, gidx0):
     Returns (power, G, alpha, om) each [P, CHUNK]; alpha is zeroed for
     skipped instances (power>0, alpha<1/255, out-of-range lanes).
     """
-    power = jnp.dot(pixquad, pack_c[0:8, :], preferred_element_type=_f32)
+    power = jnp.dot(pixquad, pack_c[0:8, :], preferred_element_type=_f32,
+                    precision=jax.lax.Precision.HIGHEST)
     op = pack_c[6:7, :]
     G = jnp.exp(power)
     alpha = jnp.minimum(op * G, ALPHA_CLAMP)
@@ -166,7 +167,7 @@ def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
     nchunks = (end - a_start + CHUNK - 1) // CHUNK
 
     def dma(slot, c):
-        off = a_start + c * CHUNK
+        off = pl.multiple_of(a_start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             pack_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
 
@@ -199,9 +200,14 @@ def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
             acc_ref[:] += jax.lax.dot_general(
                 w, pack_c[8:16, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=_f32)
-            omf = jnp.where(m, om, 1.0)
-            t_new = t_vec * jnp.prod(omf, axis=1, keepdims=True)
+                preferred_element_type=_f32,
+                precision=jax.lax.Precision.HIGHEST)
+            # frozen transmittance = t_after at the last in-threshold
+            # lane (monotone decreasing), = min over masked lanes;
+            # t_vec if no lane passes. (reduce_prod is unsupported in
+            # Mosaic; this min is exactly equivalent.)
+            t_new = jnp.min(jnp.where(m, t_after, t_vec), axis=1,
+                            keepdims=True)
             pos = jnp.where(w > 0.0,
                             (gidx - start + 1).astype(_f32), 0.0)
             nc_new = jnp.maximum(nc, jnp.max(pos, axis=1, keepdims=True))
@@ -218,20 +224,29 @@ def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
         [acc[:, 0:5], t_vec, nc, jnp.zeros((P, 1), _f32)], axis=1)
 
 
-def _bwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, tiles_ref,
-                gtile_ref, gout_ref, buf, obuf, sem, osem):
+def _bwd_kernel(starts_ref, ends_ref, ebase_ref, pack_hbm, pixquad_ref,
+                tiles_ref, gtile_ref, gout_ref, buf, obuf, sem, osem):
+    # Mosaic requires dynamic lane offsets divisible by the 128-lane
+    # tiling, so loads use the same CHUNK-aligned scheme as the forward
+    # kernel, and each tile's gradient chunks are stored into its own
+    # CHUNK-aligned, disjoint region of an *expanded* output (per-tile
+    # bases in ebase_ref, precomputed in XLA); the caller gathers the
+    # per-instance gradients back from the expanded layout.
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
-    nchunks = (end - start + CHUNK - 1) // CHUNK
+    ebase = ebase_ref[t]
+    a_start = (start // CHUNK) * CHUNK
+    nchunks = jnp.where(end > start,
+                        (end - a_start + CHUNK - 1) // CHUNK, 0)
 
     def dma_in(slot, c):
-        off = start + c * CHUNK
+        off = pl.multiple_of(a_start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             pack_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
 
     def dma_out(slot, c):
-        off = start + c * CHUNK
+        off = pl.multiple_of(ebase + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             obuf.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)], osem.at[slot])
 
@@ -268,7 +283,7 @@ def _bwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, tiles_ref,
             t_vec, r_vec = carry
             pack_c = buf[slot]
             power, G, alpha, om, _ = _chunk_alpha(
-                pack_c, pixquad, start, end, start + c * CHUNK)
+                pack_c, pixquad, start, end, a_start + c * CHUNK)
             cum = _cumprod_lanes(om)
             t_after = t_vec * cum
             m = t_after >= T_EPS
@@ -279,7 +294,8 @@ def _bwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, tiles_ref,
             cg = jax.lax.dot_general(
                 g8, pack_c[8:16, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=_f32)
+                preferred_element_type=_f32,
+                precision=jax.lax.Precision.HIGHEST)
             v = w * cg
             s_after = r_vec - _cumsum_lanes(v)
             active = m & (alpha > 0.0)
@@ -313,8 +329,8 @@ def _bwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, tiles_ref,
                 colsum(w * g_all[:, 2:3]),             # d color b
                 jnp.zeros((7, CHUNK), _f32),
             ], axis=0)
-            omf = jnp.where(m, om, 1.0)
-            t_new = t_vec * jnp.prod(omf, axis=1, keepdims=True)
+            t_new = jnp.min(jnp.where(m, t_after, t_vec), axis=1,
+                            keepdims=True)
             r_new = r_vec - jnp.sum(v, axis=1, keepdims=True)
             return (t_new, r_new, grows)
 
@@ -362,7 +378,7 @@ def _composite_fwd_impl(pack, starts, ends, *, interpret: bool):
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
@@ -382,23 +398,22 @@ def _composite_fwd_impl(pack, starts, ends, *, interpret: bool):
     )(starts, ends, pack, jnp.asarray(_pixquad()))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _composite_bwd_impl(pack, starts, ends, tiles, gtile, *,
-                        interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "m_expanded"))
+def _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile, *,
+                        m_expanded: int, interpret: bool):
     n_tiles = starts.shape[0]
-    m_padded = pack.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 8), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, 16, CHUNK), _f32),
             pltpu.VMEM((2, 16, CHUNK), _f32),
@@ -409,10 +424,10 @@ def _composite_bwd_impl(pack, starts, ends, tiles, gtile, *,
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((16, m_padded), _f32),
+        out_shape=jax.ShapeDtypeStruct((16, m_expanded), _f32),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(starts, ends, pack, jnp.asarray(_pixquad()), tiles, gtile)
+    )(starts, ends, ebase, pack, jnp.asarray(_pixquad()), tiles, gtile)
 
 
 @jax.custom_vjp
@@ -453,17 +468,26 @@ def _composite_fwd(xy_local, conic, opacity, color, depth, starts, ends):
 def _composite_bwd(res, gtile):
     pack, starts, ends, tiles = res
     m = pack.shape[1] - CHUNK
-    grads = _composite_bwd_impl(pack, starts, ends, tiles, gtile,
-                                interpret=_interpret_default())
-    grads = grads[:, :m]
-    # Instances not covered by any tile range (padding) hold uninitialized
-    # memory — zero them. Covered instances are exactly [0, num_instances).
     n_tiles = starts.shape[0]
-    covered = jnp.zeros((m,), bool)
-    # every real instance belongs to exactly one tile; ranges partition
-    # [0, total): covered iff index < max(ends).
-    covered = jnp.arange(m) < jnp.max(ends)
-    grads = jnp.where(covered[None, :], grads, 0.0)
+    # per-tile CHUNK-aligned regions in the expanded gradient layout
+    a_starts = (starts // CHUNK) * CHUNK
+    nch = jnp.where(ends > starts,
+                    (ends - a_starts + CHUNK - 1) // CHUNK, 0)
+    sizes = nch * CHUNK
+    ebase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(sizes)[:-1].astype(jnp.int32)])
+    m_expanded = pack.shape[1] + 2 * CHUNK * n_tiles   # static upper bound
+    grads_e = _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile,
+                                  m_expanded=m_expanded,
+                                  interpret=_interpret_default())
+    # map each compact instance back to its expanded column
+    i = jnp.arange(m, dtype=jnp.int32)
+    tile_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
+    tile_c = jnp.minimum(tile_of, n_tiles - 1)
+    eidx = ebase[tile_c] + (i - a_starts[tile_c])
+    covered = i < jnp.max(ends)
+    eidx = jnp.where(covered, eidx, 0)
+    grads = jnp.where(covered[None, :], grads_e[:, eidx], 0.0)
     d_xy = grads[0:2].T
     d_conic = grads[2:5].T
     d_op = grads[5]

@@ -1,0 +1,80 @@
+"""Training CLI — counterpart of reference train.py:226-296.
+
+Usage: python -m rain_tpu.scripts.train -s <scene> [--ours_new ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import uuid
+from pathlib import Path
+
+import numpy as np
+
+from rain_tpu import config as cfg_mod
+
+
+def main(argv=None):
+    parser = cfg_mod.build_parser("rain-tpu training")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[30000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--output_path", type=str, default="./output/")
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--white_bg", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+    args.white_background = args.white_background or args.white_bg
+    args.save_iterations = list(args.save_iterations) + [args.iterations]
+
+    cfgs = cfg_mod.extract_all(args)
+    cfgs = cfg_mod.apply_method_presets(cfgs, args.source_path)
+    model = cfgs["model"]
+    rain = cfgs["rain"]
+
+    # output dir resolution (train.py:154-169)
+    if model.model_path:
+        model_path = model.model_path
+    elif args.exp_name:
+        model_path = os.path.join(args.output_path, args.exp_name)
+    else:
+        model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+    print(f"Output folder: {model_path}")
+    Path(model_path).mkdir(parents=True, exist_ok=True)
+    cfg_mod.save_config(cfgs, Path(model_path) / "cfg_args.json")
+    (Path(model_path) / "command_line.txt").write_text(" ".join(sys.argv))
+
+    from rain_tpu.data.dataset import load_scene
+    from rain_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(cfgs["system"].seed)
+    scene = load_scene(
+        model.source_path,
+        images_dir=model.images,
+        eval_split=True,                       # train.py:261 forces eval
+        num_cams=rain.num_cams,
+        resolution=model.resolution,
+        rain_cfg=rain,
+        white_background=model.white_background,
+        rng=rng)
+    print(f"cameras: {len(scene.train_cameras)} train / "
+          f"{len(scene.test_cameras)} test; "
+          f"init points: {scene.points.shape[0]}")
+
+    trainer = Trainer(scene, cfgs, model_path)
+    trainer.train(
+        iterations=cfgs["opt"].iterations,
+        test_iterations=tuple(args.test_iterations),
+        save_iterations=tuple(args.save_iterations),
+        checkpoint_iterations=tuple(args.checkpoint_iterations),
+        start_checkpoint=args.start_checkpoint)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()

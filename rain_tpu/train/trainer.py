@@ -1,0 +1,272 @@
+"""The host-side training driver.
+
+Counterpart of reference train.py:training() (:24-151): camera sampling,
+schedule evaluation (LR / SH degree / c2f low-pass), densify cadence,
+opacity resets, eval reports, and checkpointing — orchestrating the jitted
+train_step. TPU-specific responsibilities the reference doesn't have:
+proactive capacity growth (a re-jit boundary) before densification can
+overflow, and instance-buffer tier growth on overflow signals.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rain_tpu.data.dataset import SceneData
+from rain_tpu.model import adam as adam_mod
+from rain_tpu.model import densify as densify_mod
+from rain_tpu.model import gaussians as gmod
+from rain_tpu.ops import losses as loss_ops
+from rain_tpu.train import checkpoint as ckpt
+from rain_tpu.train import schedules
+from rain_tpu.train import step as step_mod
+
+
+def _round_up(x, m):
+    return ((int(x) + m - 1) // m) * m
+
+
+class Trainer:
+    def __init__(self, scene: SceneData, cfgs: dict, model_path: str,
+                 *, log_fn=print):
+        self.scene = scene
+        self.model = cfgs["model"]
+        self.opt_cfg = cfgs["opt"]
+        self.rain = cfgs["rain"]
+        self.system = cfgs["system"]
+        self.model_path = Path(model_path)
+        self.model_path.mkdir(parents=True, exist_ok=True)
+        self.log = log_fn
+
+        self.divide_ratio = 0.7 if (self.rain.ours or self.rain.ours_new) \
+            else 0.8                                  # train.py:28-32
+        self.spatial_lr_scale = scene.nerf_radius
+
+        n0 = scene.points.shape[0]
+        cap = self.system.capacity or max(_round_up(n0 * 2, 4096), 16384)
+        self.state = gmod.create_from_pcd(
+            scene.points, scene.colors, sh_degree=self.model.sh_degree,
+            capacity=cap)
+        self.opt_state = adam_mod.init(self.state.params)
+        self.max_instances = self.system.max_instances or max(
+            _round_up(n0 * 8, 65536), 262144)
+
+        bg = [1.0, 1.0, 1.0] if self.model.white_background else [0, 0, 0]
+        self.background = jnp.asarray(bg, jnp.float32)
+
+        self.iteration = 0
+        self.low_pass = 0.3
+        self.ema_loss = 0.0
+        self._viewpoint_stack = []
+        self._rng = random.Random(0)
+        self._key = jax.random.key(self.system.seed)
+        self._cam_arrays = {}
+        self.densify_until = (self.opt_cfg.densify_until_iter +
+                              self.rain.warmup_iter)  # train.py:38-39
+        self.history = []
+
+    # -- camera handling --------------------------------------------------
+    def _camera_bundle(self, cam):
+        if cam.uid not in self._cam_arrays:
+            self._cam_arrays[cam.uid] = (
+                {k: jnp.asarray(v) for k, v in cam.render_inputs().items()},
+                jnp.asarray(cam.image) if cam.image is not None else None)
+        return self._cam_arrays[cam.uid]
+
+    def _next_camera(self):
+        if not self._viewpoint_stack:
+            self._viewpoint_stack = list(self.scene.train_cameras)
+        return self._viewpoint_stack.pop(
+            self._rng.randint(0, len(self._viewpoint_stack) - 1))
+
+    # -- capacity management ----------------------------------------------
+    def _maybe_grow(self):
+        n = int(self.state.n_alive)
+        cap = self.state.capacity
+        if n > 0.6 * cap:
+            new_cap = _round_up(cap * 2, 4096)
+            self.log(f"[cap] growing capacity {cap} -> {new_cap} "
+                     f"(alive {n})")
+            self.state = gmod.grow_capacity(self.state, new_cap)
+            self.opt_state = adam_mod.AdamState(
+                mu=self._pad_params(self.opt_state.mu, new_cap),
+                nu=self._pad_params(self.opt_state.nu, new_cap),
+                step=self.opt_state.step)
+
+    @staticmethod
+    def _pad_params(params: gmod.GaussianParams, new_cap: int):
+        def pad(x):
+            extra = new_cap - x.shape[0]
+            return jnp.concatenate(
+                [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)])
+        return jax.tree.map(pad, params)
+
+    def _grow_instances(self):
+        self.max_instances = _round_up(self.max_instances * 2, 65536)
+        self.log(f"[cap] growing instance buffer -> {self.max_instances}")
+
+    # -- the loop ----------------------------------------------------------
+    def train(self, iterations=None, *, test_iterations=(7000, 30000),
+              save_iterations=(30000,), checkpoint_iterations=(),
+              start_checkpoint=None):
+        opt_cfg = self.opt_cfg
+        iterations = iterations or opt_cfg.iterations
+        first_iter = 0
+        if start_checkpoint:
+            self.state, self.opt_state, first_iter, self.spatial_lr_scale = \
+                ckpt.load_checkpoint(start_checkpoint,
+                                     capacity=self.state.capacity)
+            self.log(f"[ckpt] resumed from {start_checkpoint} at iteration "
+                     f"{first_iter}")
+
+        opt_leaves = {
+            "feature_lr": opt_cfg.feature_lr,
+            "opacity_lr": opt_cfg.opacity_lr,
+            "scaling_lr": opt_cfg.scaling_lr,
+            "rotation_lr": opt_cfg.rotation_lr,
+        }
+        t_start = time.time()
+        overflow_seen = False
+
+        for iteration in range(first_iter + 1, iterations + 1):
+            self.iteration = iteration
+            cam = self._next_camera()
+            cam_arrays, gt = self._camera_bundle(cam)
+
+            xyz_lr = schedules.xyz_lr_at(
+                iteration, opt_cfg, self.spatial_lr_scale,
+                ours_new=self.rain.ours_new,
+                warmup_iter=self.rain.warmup_iter)
+            sh_deg = schedules.sh_degree_at(
+                iteration, self.model.sh_degree,
+                ours=self.rain.ours or self.rain.ours_new)
+            n_gauss = int(self.state.n_alive) if iteration == 1 or \
+                iteration % int(self.rain.c2f_every_step) == 0 else 0
+            self.low_pass = schedules.c2f_low_pass(
+                iteration, c2f=self.rain.c2f,
+                c2f_every_step=self.rain.c2f_every_step,
+                c2f_max_lowpass=self.rain.c2f_max_lowpass,
+                densify_until_iter=self.densify_until,
+                height=cam.height, width=cam.width,
+                num_gaussians=n_gauss or 1, prev=self.low_pass)
+
+            bg = self.background
+            if opt_cfg.random_background:          # train.py:94
+                self._key, sub = jax.random.split(self._key)
+                bg = jax.random.uniform(sub, (3,))
+
+            in_densify = iteration < self.densify_until
+            self.state, self.opt_state, aux = step_mod.train_step(
+                self.state, self.opt_state, cam_arrays, gt, bg,
+                jnp.asarray(self.low_pass, jnp.float32),
+                jnp.asarray(xyz_lr, jnp.float32),
+                width=cam.width, height=cam.height, sh_degree=sh_deg,
+                max_instances=self.max_instances,
+                opt_cfg_leaves=opt_leaves,
+                lambda_dssim=opt_cfg.lambda_dssim,
+                update_densify_stats=in_densify)
+
+            # densification cadence (train.py:132-143)
+            if in_densify and iteration > opt_cfg.densify_from_iter and \
+                    iteration % opt_cfg.densification_interval == 0:
+                self._maybe_grow()
+                use_size = iteration > opt_cfg.opacity_reset_interval
+                abe = iteration <= self.rain.warmup_iter
+                self._key, sub = jax.random.split(self._key)
+                self.state, self.opt_state, info = \
+                    densify_mod.densify_and_prune(
+                        self.state, self.opt_state, sub,
+                        max_grad=opt_cfg.densify_grad_threshold,
+                        min_opacity=0.005,
+                        extent=self.scene.nerf_radius,
+                        percent_dense=opt_cfg.percent_dense,
+                        divide_ratio=self.divide_ratio,
+                        size_threshold=20.0,
+                        use_size_threshold=use_size,
+                        abe_split=abe)
+                if bool(info.overflow):
+                    self.log("[cap] densify overflow — growing next round")
+                    self._maybe_grow()
+            if in_densify and (
+                    iteration % opt_cfg.opacity_reset_interval == 0 or
+                    (self.model.white_background and
+                     iteration == opt_cfg.densify_from_iter)):
+                self.state, self.opt_state = densify_mod.reset_opacity(
+                    self.state, self.opt_state)
+
+            if iteration % self.system.log_every == 0 or \
+                    iteration == iterations:
+                loss = float(aux.loss)
+                self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+                if bool(aux.instance_overflow) and not overflow_seen:
+                    overflow_seen = True
+                    self._grow_instances()
+                elif not bool(aux.instance_overflow):
+                    overflow_seen = False
+                if iteration % (self.system.log_every * 10) == 0 or \
+                        iteration == iterations:
+                    dt = time.time() - t_start
+                    self.log(f"[{iteration}] loss {self.ema_loss:.5f} "
+                             f"gaussians {int(aux.n_alive)} "
+                             f"it/s {iteration / max(dt, 1e-9):.2f}")
+
+            if iteration in test_iterations:
+                self.report(iteration)
+            if iteration in save_iterations:
+                path = (self.model_path / "point_cloud" /
+                        f"iteration_{iteration}" / "point_cloud.ply")
+                ckpt.save_ply_snapshot(path, self.state)
+                self.log(f"[{iteration}] saved {path}")
+            if iteration in checkpoint_iterations:
+                path = self.model_path / f"chkpnt{iteration}.npz"
+                ckpt.save_checkpoint(path, self.state, self.opt_state,
+                                     iteration, self.spatial_lr_scale)
+                self.log(f"[{iteration}] checkpoint {path}")
+        return self.state
+
+    # -- evaluation (training_report, train.py:179-224) --------------------
+    def report(self, iteration):
+        configs = [("test", self.scene.test_cameras),
+                   ("train", [self.scene.train_cameras[
+                       i % len(self.scene.train_cameras)]
+                       for i in range(5, 30, 5)])]
+        results = {}
+        for name, cams in configs:
+            if not cams:
+                continue
+            psnrs, l1s, ssims = [], [], []
+            for cam in cams:
+                cam_arrays, gt = self._camera_bundle(cam)
+                if gt is None:
+                    continue
+                out = step_mod.eval_render(
+                    self.state, cam_arrays, self.background,
+                    jnp.asarray(self.low_pass, jnp.float32),
+                    width=cam.width, height=cam.height,
+                    sh_degree=self.model.sh_degree,
+                    max_instances=self.max_instances)
+                img = jnp.clip(out.render, 0.0, 1.0)
+                gtc = jnp.clip(gt, 0.0, 1.0)
+                psnrs.append(float(loss_ops.psnr(img, gtc)[0]))
+                l1s.append(float(loss_ops.l1_loss(img, gtc)))
+                ssims.append(float(loss_ops.ssim(img, gtc)))
+            if psnrs:
+                results[name] = {"psnr": float(np.mean(psnrs)),
+                                 "l1": float(np.mean(l1s)),
+                                 "ssim": float(np.mean(ssims))}
+                self.log(f"[ITER {iteration}] Evaluating {name}: "
+                         f"L1 {results[name]['l1']:.5f} "
+                         f"PSNR {results[name]['psnr']:.2f} "
+                         f"SSIM {results[name]['ssim']:.4f}")
+        self.history.append({"iteration": iteration, **results})
+        (self.model_path / "log_file.txt").open("a").write(
+            json.dumps({"iteration": iteration, **results}) + "\n")
+        return results

@@ -44,8 +44,15 @@ def main():
         axis=1).astype(np.float32)
     cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
 
-    state = gmod.create_from_pcd(pts, cols, sh_degree=3, capacity=cap,
-                                 knn_window=32)
+    # build the state directly (fixed log-scales) — the benchmark measures
+    # train-step throughput, not point-cloud init
+    from rain_tpu.ops.sh import rgb_to_sh_dc
+    state = gmod.from_arrays(
+        xyz=pts, f_dc=rgb_to_sh_dc(cols)[:, None, :],
+        f_rest=np.zeros((n, 15, 3), np.float32),
+        scaling=np.full((n, 3), -4.5, np.float32),
+        rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        opacity=np.full((n, 1), -1.0, np.float32), capacity=cap)
     opt = adam_mod.init(state.params)
     cam = Camera(uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
                  fovx=1.0, fovy=0.7, image=None, width=width, height=height)

@@ -139,3 +139,11 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
         num_instances=num_instances,
         overflow=overflow,
     )
+
+
+def mark_visible(means3d: jnp.ndarray, world_view: jnp.ndarray) -> jnp.ndarray:
+    """Frustum visibility test (GaussianRasterizer.markVisible,
+    rasterize_points.cu:193-212): view-space z > 0.2."""
+    ones = jnp.ones_like(means3d[:, :1])
+    p_view = jnp.concatenate([means3d, ones], axis=-1) @ world_view[:3, :].T
+    return p_view[:, 2] > proj_ops.NEAR_Z

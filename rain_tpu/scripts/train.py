@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--exp_name", type=str, default=None)
     parser.add_argument("--white_bg", action="store_true")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--viewer", action="store_true",
+                        help="serve the SIBR live viewer")
     args = parser.parse_args(argv)
     args.white_background = args.white_background or args.white_bg
     args.save_iterations = list(args.save_iterations) + [args.iterations]
@@ -66,7 +70,12 @@ def main(argv=None):
           f"{len(scene.test_cameras)} test; "
           f"init points: {scene.points.shape[0]}")
 
-    trainer = Trainer(scene, cfgs, model_path)
+    viewer = None
+    if args.viewer:
+        from rain_tpu.viewer.network_gui import NetworkGUI
+        viewer = NetworkGUI(args.ip, args.port)
+        print(f"GUI server started at {viewer.host}:{viewer.port}")
+    trainer = Trainer(scene, cfgs, model_path, viewer=viewer)
     trainer.train(
         iterations=cfgs["opt"].iterations,
         test_iterations=tuple(args.test_iterations),

@@ -36,7 +36,8 @@ def _round_up(x, m):
 
 class Trainer:
     def __init__(self, scene: SceneData, cfgs: dict, model_path: str,
-                 *, log_fn=print):
+                 *, log_fn=print, tensorboard: bool = True,
+                 viewer=None):
         self.scene = scene
         self.model = cfgs["model"]
         self.opt_cfg = cfgs["opt"]
@@ -45,6 +46,14 @@ class Trainer:
         self.model_path = Path(model_path)
         self.model_path.mkdir(parents=True, exist_ok=True)
         self.log = log_fn
+        self.viewer = viewer
+        self.tb = None
+        if tensorboard:
+            try:  # same optional dependency handling as train.py:17-21
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(str(self.model_path))
+            except Exception:
+                self.log("Tensorboard not available: not logging progress")
 
         self.divide_ratio = 0.7 if (self.rain.ours or self.rain.ours_new) \
             else 0.8                                  # train.py:28-32
@@ -138,6 +147,8 @@ class Trainer:
 
         for iteration in range(first_iter + 1, iterations + 1):
             self.iteration = iteration
+            if self.viewer is not None:
+                self._poll_viewer(iteration >= iterations)
             cam = self._next_camera()
             cam_arrays, gt = self._camera_bundle(cam)
 
@@ -211,6 +222,13 @@ class Trainer:
                     self._grow_instances()
                 elif not bool(aux.instance_overflow):
                     overflow_seen = False
+                if self.tb is not None:
+                    self.tb.add_scalar("train_loss_patches/l1_loss",
+                                       float(aux.l1), iteration)
+                    self.tb.add_scalar("train_loss_patches/total_loss",
+                                       loss, iteration)
+                    self.tb.add_scalar("total_points",
+                                       int(aux.n_alive), iteration)
                 if iteration % (self.system.log_every * 10) == 0 or \
                         iteration == iterations:
                     dt = time.time() - t_start
@@ -231,6 +249,29 @@ class Trainer:
                                      iteration, self.spatial_lr_scale)
                 self.log(f"[{iteration}] checkpoint {path}")
         return self.state
+
+    def _poll_viewer(self, training_done: bool):
+        """Serve the SIBR viewer (reference train.py:56-69)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        def render_fn(cam, scaling_modifier):
+            from rain_tpu.train import step as step_mod
+            camera = {k: (jnp.asarray(v) if not isinstance(v, int) else v)
+                      for k, v in cam.items()}
+            width, height = camera.pop("width"), camera.pop("height")
+            out = step_mod.eval_render(
+                self.state, camera, self.background,
+                jnp.asarray(self.low_pass, jnp.float32),
+                width=width, height=height,
+                sh_degree=self.model.sh_degree,
+                max_instances=self.max_instances)
+            img = np.asarray(jnp.clip(out.render, 0.0, 1.0))
+            return memoryview(
+                (img * 255).astype(np.uint8).transpose(1, 2, 0).copy())
+
+        self.viewer.handle(render_fn, str(self.model.source_path),
+                           training_done)
 
     # -- evaluation (training_report, train.py:179-224) --------------------
     def report(self, iteration):
@@ -266,6 +307,10 @@ class Trainer:
                          f"L1 {results[name]['l1']:.5f} "
                          f"PSNR {results[name]['psnr']:.2f} "
                          f"SSIM {results[name]['ssim']:.4f}")
+                if self.tb is not None:
+                    for k, v in results[name].items():
+                        self.tb.add_scalar(
+                            f"{name}/loss_viewpoint - {k}", v, iteration)
         self.history.append({"iteration": iteration, **results})
         (self.model_path / "log_file.txt").open("a").write(
             json.dumps({"iteration": iteration, **results}) + "\n")

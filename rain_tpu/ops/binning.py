@@ -9,9 +9,9 @@ static-shape XLA passes:
 1. argsort Gaussians by depth once (stable; invisible → +inf keys sort
    last). Instances are then *generated already depth-ordered*.
 2. expand Gaussians into per-(Gaussian, tile) instances with a cumsum +
-   vectorized searchsorted (replaces the CUB InclusiveSum + the per-thread
-   duplication loop, rasterizer_impl.cu:269,:281-290), enumerating each
-   rect row-major exactly like duplicateWithKeys.
+   scatter-bump prefix-sum assignment (replaces the CUB InclusiveSum + the
+   per-thread duplication loop, rasterizer_impl.cu:269,:281-290),
+   enumerating each rect row-major exactly like duplicateWithKeys.
 3. stable-sort instances by tile id only (32-bit): stability preserves the
    depth order within a tile, so the final order equals the CUDA 64-bit
    (tile, depth-bits) radix sort — including tie-breaking by Gaussian index
@@ -70,29 +70,44 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     order = jnp.argsort(depth_key, stable=True)          # [N] depth order
 
     tiles_o = prep.tiles_touched[order]
-    rect_min_o = prep.rect_min[order]
-    rect_w_o = prep.rect_wh[order][:, 0]
-
     offs = jnp.cumsum(tiles_o)                           # inclusive
     total = offs[-1]
 
+    # all depth-ordered per-Gaussian integers the expansion needs, packed
+    # so each instance performs ONE row gather (separate [M]<-[N] gathers
+    # cost ~25ms each at 2M instances on TPU)
+    pack = jnp.stack([
+        offs - tiles_o,                                  # exclusive offset
+        prep.rect_min[order, 0], prep.rect_min[order, 1],
+        jnp.maximum(prep.rect_wh[order, 0], 1),
+        order.astype(jnp.int32),
+    ], axis=1)                                           # [N, 5]
+
     i = jnp.arange(max_instances, dtype=jnp.int32)
-    g = jnp.searchsorted(offs, i, side="right").astype(jnp.int32)
-    g_c = jnp.minimum(g, n - 1)
-    local = i - (offs[g_c] - tiles_o[g_c])
-    w = jnp.maximum(rect_w_o[g_c], 1)
+    # instance→Gaussian assignment: g_i = #{g : offs[g] <= i}. A binary
+    # search (searchsorted) costs ~300ms at 2M instances on TPU; the
+    # scatter+cumsum formulation below is ~10x faster: bump a counter at
+    # each Gaussian's end offset, then prefix-sum. Duplicate offsets
+    # (invisible Gaussians with zero tiles) accumulate correctly.
+    bumps = jnp.zeros((max_instances,), jnp.int32).at[offs].add(
+        1, mode="drop")
+    g_c = jnp.minimum(jnp.cumsum(bumps), n - 1)
+    row = pack[g_c]                                      # [M, 5]
+    local = i - row[:, 0]
+    w = row[:, 3]
     dy = local // w                                       # row-major rect
     dx = local - dy * w                                   # enumeration
-    tx = rect_min_o[g_c, 0] + dx
-    ty = rect_min_o[g_c, 1] + dy
+    tx = row[:, 1] + dx
+    ty = row[:, 2] + dy
     tile = (ty * grid_x + tx - tile_offset).astype(jnp.int32)
     valid = i < jnp.minimum(total, max_instances)
     tile = jnp.where(valid, tile, n_tiles)
 
-    tile_sorted, inst_perm = jax.lax.sort(
-        (tile, i), dimension=0, is_stable=True, num_keys=1)
-    gauss_sorted = jnp.where(tile_sorted < n_tiles,
-                             order[g_c][inst_perm], n)
+    # stable sort by tile id only; the original Gaussian index rides as a
+    # payload so no post-sort gather is needed
+    tile_sorted, gauss_sorted = jax.lax.sort(
+        (tile, row[:, 4]), dimension=0, is_stable=True, num_keys=1)
+    gauss_sorted = jnp.where(tile_sorted < n_tiles, gauss_sorted, n)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tids, side="left")

@@ -66,17 +66,27 @@ def quat_scale_to_cov3d(scale: jnp.ndarray, quat: jnp.ndarray,
     r, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
     # Rotation matrix rows (forward.cu:123-127, glm column-major transposed
     # to math convention — same entries as utils/general_utils.py:52-73).
-    R = jnp.stack([
-        1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
-        2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
-        2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
-    ], axis=-1).reshape(-1, 3, 3)
+    # Σ = R S² Rᵀ expanded elementwise: batched 3x3 matmuls lower poorly
+    # on TPU (MXU passes for tiny shapes); the VPU formula is ~free.
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
     s = scale_modifier * scale                     # [N, 3]
-    M = R * s[:, None, :]                          # columns scaled: M = R·S
-    sigma = jnp.matmul(M, jnp.swapaxes(M, 1, 2), precision=_HI)              # Σ = M Mᵀ = R S² Rᵀ
-    return jnp.stack([sigma[:, 0, 0], sigma[:, 0, 1], sigma[:, 0, 2],
-                      sigma[:, 1, 1], sigma[:, 1, 2], sigma[:, 2, 2]],
-                     axis=-1)
+    s0, s1, s2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    return jnp.stack([
+        s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02,
+        s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12,
+        s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22,
+        s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12,
+        s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22,
+        s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22,
+    ], axis=-1)
 
 
 def project_cov2d(mean_view: jnp.ndarray, cov3d: jnp.ndarray,
@@ -101,25 +111,37 @@ def project_cov2d(mean_view: jnp.ndarray, cov3d: jnp.ndarray,
     ty = jnp.clip(mean_view[:, 1] / tz, -limy, limy) * tz
 
     # J rows = d(pix_unscaled)/d(view xyz) — the standard EWA Jacobian.
+    # cov = (J Rwv) Σ (J Rwv)ᵀ expanded elementwise over [N] (batched tiny
+    # matmuls lower poorly on TPU).
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack([
-        focal_x * inv_tz, zeros, -(focal_x * tx) * inv_tz2,
-        zeros, focal_y * inv_tz, -(focal_y * ty) * inv_tz2,
-    ], axis=-1).reshape(-1, 2, 3)
+    j00 = focal_x * inv_tz
+    j02 = -(focal_x * tx) * inv_tz2
+    j11 = focal_y * inv_tz
+    j12 = -(focal_y * ty) * inv_tz2
 
-    Rwv = world_view[:3, :3]                       # [3, 3]
-    M = jnp.matmul(J, Rwv, precision=_HI)          # [N, 2, 3]
+    W = world_view
+    # M = J @ Rwv: rows m0, m1 of [N, 3]
+    m00 = j00 * W[0, 0] + j02 * W[2, 0]
+    m01 = j00 * W[0, 1] + j02 * W[2, 1]
+    m02 = j00 * W[0, 2] + j02 * W[2, 2]
+    m10 = j11 * W[1, 0] + j12 * W[2, 0]
+    m11 = j11 * W[1, 1] + j12 * W[2, 1]
+    m12 = j11 * W[1, 2] + j12 * W[2, 2]
 
     c = cov3d
-    sigma = jnp.stack([c[:, 0], c[:, 1], c[:, 2],
-                       c[:, 1], c[:, 3], c[:, 4],
-                       c[:, 2], c[:, 4], c[:, 5]], axis=-1).reshape(-1, 3, 3)
-    cov = jnp.matmul(jnp.matmul(M, sigma, precision=_HI),
-                     jnp.swapaxes(M, 1, 2), precision=_HI)
-    return jnp.stack([cov[:, 0, 0] + low_pass, cov[:, 0, 1],
-                      cov[:, 1, 1] + low_pass], axis=-1)
+    # v_i = Σ @ m_i
+    v00 = c[:, 0] * m00 + c[:, 1] * m01 + c[:, 2] * m02
+    v01 = c[:, 1] * m00 + c[:, 3] * m01 + c[:, 4] * m02
+    v02 = c[:, 2] * m00 + c[:, 4] * m01 + c[:, 5] * m02
+    v10 = c[:, 0] * m10 + c[:, 1] * m11 + c[:, 2] * m12
+    v11 = c[:, 1] * m10 + c[:, 3] * m11 + c[:, 4] * m12
+    v12 = c[:, 2] * m10 + c[:, 4] * m11 + c[:, 5] * m12
+
+    cov00 = m00 * v00 + m01 * v01 + m02 * v02
+    cov01 = m10 * v00 + m11 * v01 + m12 * v02
+    cov11 = m10 * v10 + m11 * v11 + m12 * v12
+    return jnp.stack([cov00 + low_pass, cov01, cov11 + low_pass], axis=-1)
 
 
 def ndc_to_pix(v: jnp.ndarray, size) -> jnp.ndarray:

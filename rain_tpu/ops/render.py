@@ -66,19 +66,24 @@ def render_tiles(prep: proj_ops.Preprocessed,
 
     gidx = binn.gauss_idx                       # [M], == n for padding
 
-    def gather(x):
-        pad = jnp.zeros_like(x[:1])
-        return jnp.concatenate([x, pad], axis=0)[gidx]
+    # single row-gather of all per-Gaussian rendering attributes (one
+    # [M, 10] gather instead of five separate ones; its VJP is likewise a
+    # single scatter-add)
+    pergauss = jnp.concatenate([
+        xy, prep.conic, prep.opacity[:, None], prep.rgb,
+        prep.depth[:, None]], axis=1)
+    pergauss = jnp.concatenate(
+        [pergauss, jnp.zeros_like(pergauss[:1])], axis=0)
+    inst = pergauss[gidx]                       # [M, 10]
 
     tid = jnp.minimum(binn.tile_id, n_tiles - 1)
     tx = tid % grid_x
     ty = tid // grid_x + ty0
     origin = jnp.stack([tx * TILE, ty * TILE], axis=-1).astype(jnp.float32)
-    xy_local = gather(xy) - origin
+    xy_local = inst[:, 0:2] - origin
 
     tiles = tile_render.composite(
-        xy_local, gather(prep.conic), gather(prep.opacity),
-        gather(prep.rgb), gather(prep.depth),
+        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9],
         binn.tile_start, binn.tile_end)
     return tiles, binn.num_instances, binn.overflow
 

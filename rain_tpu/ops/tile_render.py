@@ -480,9 +480,12 @@ def _composite_bwd(res, gtile):
     grads_e = _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile,
                                   m_expanded=m_expanded,
                                   interpret=_interpret_default())
-    # map each compact instance back to its expanded column
+    # map each compact instance back to its expanded column:
+    # tile_of_i = #{t : ends[t] <= i} via scatter+cumsum (searchsorted is
+    # ~10x slower on TPU at this size)
     i = jnp.arange(m, dtype=jnp.int32)
-    tile_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
+    bumps = jnp.zeros((m,), jnp.int32).at[ends].add(1, mode="drop")
+    tile_of = jnp.cumsum(bumps)
     tile_c = jnp.minimum(tile_of, n_tiles - 1)
     eidx = ebase[tile_c] + (i - a_starts[tile_c])
     covered = i < jnp.max(ends)

@@ -81,18 +81,20 @@ def _render_band(params, alive, camera, band_ty0, *, width, height,
 
     gidx = binn.gauss_idx
 
-    def gather(x):
-        pad = jnp.zeros_like(x[:1])
-        return jnp.concatenate([x, pad], axis=0)[gidx]
+    pergauss = jnp.concatenate([
+        prep.xy, prep.conic, prep.opacity[:, None], prep.rgb,
+        prep.depth[:, None]], axis=1)
+    pergauss = jnp.concatenate(
+        [pergauss, jnp.zeros_like(pergauss[:1])], axis=0)
+    inst = pergauss[gidx]
 
     tid = jnp.minimum(binn.tile_id, n_tiles - 1)
     tx = tid % grid_x
     ty = tid // grid_x + band_ty0
     origin = jnp.stack([tx * TILE, ty * TILE], axis=-1).astype(jnp.float32)
-    xy_local = gather(prep.xy) - origin
+    xy_local = inst[:, 0:2] - origin
     tiles = tile_render.composite(
-        xy_local, gather(prep.conic), gather(prep.opacity),
-        gather(prep.rgb), gather(prep.depth),
+        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9],
         binn.tile_start, binn.tile_end)
 
     img = render_ops.assemble_image(tiles, grid_x, n_rows,

@@ -70,6 +70,26 @@ def main(argv=None):
           f"{len(scene.test_cameras)} test; "
           f"init points: {scene.points.shape[0]}")
 
+    # provenance files (reference scene/__init__.py:36-55): the input point
+    # cloud and the camera poses used for this run
+    import json as _json
+    from rain_tpu.data import ply as _ply
+    from rain_tpu.data.cameras import fov2focal as _f2f
+    _ply.write_point_cloud(Path(model_path) / "input.ply", scene.points,
+                           scene.colors * 255.0)
+    cam_entries = []
+    for cid, cam in enumerate(scene.test_cameras + scene.train_cameras):
+        W2C = np.linalg.inv(cam.world_view)
+        cam_entries.append({
+            "id": cid, "img_name": cam.image_name,
+            "width": cam.width, "height": cam.height,
+            "position": W2C[:3, 3].tolist(),
+            "rotation": [r.tolist() for r in W2C[:3, :3]],
+            "fy": _f2f(cam.fovy, cam.height),
+            "fx": _f2f(cam.fovx, cam.width)})
+    (Path(model_path) / "cameras.json").write_text(
+        _json.dumps(cam_entries))
+
     viewer = None
     if args.viewer:
         from rain_tpu.viewer.network_gui import NetworkGUI

@@ -216,6 +216,16 @@ class Trainer:
             if iteration % self.system.log_every == 0 or \
                     iteration == iterations:
                 loss = float(aux.loss)
+                if not np.isfinite(loss):
+                    # counterpart of the reference debug snapshot dumps
+                    # (dgr/__init__.py:73-80): save the full state for
+                    # offline diagnosis, then abort.
+                    dump = self.model_path / f"snapshot_iter{iteration}.npz"
+                    ckpt.save_checkpoint(dump, self.state, self.opt_state,
+                                         iteration, self.spatial_lr_scale)
+                    raise FloatingPointError(
+                        f"non-finite loss at iteration {iteration}; "
+                        f"state dumped to {dump}")
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 if bool(aux.instance_overflow) and not overflow_seen:
                     overflow_seen = True

@@ -54,7 +54,15 @@ class ModelParams:
 
 @dataclass
 class PipelineParams:
-    """Reference PipelineParams (arguments/__init__.py:54-59)."""
+    """Reference PipelineParams (arguments/__init__.py:54-59).
+
+    convert_SHs_python / compute_cov3D_python are accepted for CLI
+    compatibility but are no-ops here: the reference uses them to switch
+    between CUDA-kernel and PyTorch implementations of SH evaluation and
+    covariance construction, and in this framework both paths are the
+    same JAX code. ``debug`` enables the non-finite-loss state dump
+    (train.trainer) — the counterpart of the reference snapshot dumps.
+    """
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     debug: bool = False

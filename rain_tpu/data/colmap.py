@@ -22,6 +22,14 @@ from pathlib import Path
 
 import numpy as np
 
+def _native():
+    try:
+        from rain_tpu import native
+        return native.load()
+    except Exception:
+        return None
+
+
 # model_id → (name, num_params); scene/colmap_loader.py CAMERA_MODELS
 CAMERA_MODELS = {
     0: ("SIMPLE_PINHOLE", 3), 1: ("PINHOLE", 4), 2: ("SIMPLE_RADIAL", 4),
@@ -90,6 +98,41 @@ def read_cameras_text(path) -> dict[int, ColmapCamera]:
 
 
 def read_images_binary(path) -> dict[int, ColmapImage]:
+    lib = _native()
+    if lib is not None:
+        return _read_images_binary_native(lib, path)
+    return _read_images_binary_py(path)
+
+
+def _read_images_binary_native(lib, path):
+    import ctypes
+    # first call sizes the buffers (cap=0 walk), second fills them
+    n = lib.colmap_parse_images(str(path).encode(), None, None, None,
+                                None, 0)
+    if n < 0:
+        return _read_images_binary_py(path)
+    qvec = np.empty((n, 4))
+    tvec = np.empty((n, 3))
+    ids = np.empty((n, 2), np.int32)
+    names = np.zeros((n, 256), np.uint8)
+    n2 = lib.colmap_parse_images(
+        str(path).encode(),
+        qvec.ctypes.data_as(ctypes.c_void_p),
+        tvec.ctypes.data_as(ctypes.c_void_p),
+        ids.ctypes.data_as(ctypes.c_void_p),
+        names.ctypes.data_as(ctypes.c_void_p), n)
+    if n2 != n:
+        return _read_images_binary_py(path)
+    images = {}
+    for i in range(n):
+        name = bytes(names[i]).split(b"\0", 1)[0].decode("utf-8")
+        images[int(ids[i, 0])] = ColmapImage(
+            int(ids[i, 0]), qvec[i].copy(), tvec[i].copy(),
+            int(ids[i, 1]), name)
+    return images
+
+
+def _read_images_binary_py(path) -> dict[int, ColmapImage]:
     data = Path(path).read_bytes()
     (n,) = struct.unpack_from("<Q", data, 0)
     off = 8
@@ -122,7 +165,28 @@ def read_images_text(path) -> dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path):
-    """(xyz [N,3], rgb [N,3], error [N,1]) — vectorized single pass."""
+    """(xyz [N,3], rgb [N,3], error [N,1]); native C parser when
+    available (rain_tpu/native/colmap_fast.c), Python fallback."""
+    lib = _native()
+    if lib is not None:
+        import ctypes
+        n = lib.colmap_parse_points3d(str(path).encode(), None, None,
+                                      None, 0)
+        if n >= 0:
+            xyz = np.empty((n, 3))
+            rgb = np.empty((n, 3), np.uint8)
+            err = np.empty((n, 1))
+            n2 = lib.colmap_parse_points3d(
+                str(path).encode(),
+                xyz.ctypes.data_as(ctypes.c_void_p),
+                rgb.ctypes.data_as(ctypes.c_void_p),
+                err.ctypes.data_as(ctypes.c_void_p), n)
+            if n2 == n:
+                return xyz, rgb.astype(np.float64), err
+    return _read_points3d_binary_py(path)
+
+
+def _read_points3d_binary_py(path):
     data = Path(path).read_bytes()
     (n,) = struct.unpack_from("<Q", data, 0)
     xyz = np.empty((n, 3))

@@ -166,6 +166,7 @@ def preprocess(means3d: jnp.ndarray,
                colors_override: jnp.ndarray | None = None,
                cov3d_override: jnp.ndarray | None = None,
                tile_bounds: tuple[int, int, int, int] | None = None,
+               tight_opacity_culling: bool = True,
                ) -> Preprocessed:
     """Vectorized, differentiable equivalent of preprocessCUDA.
 
@@ -226,17 +227,50 @@ def preprocess(means3d: jnp.ndarray,
         bx0, by0, bx1, by1 = 0, 0, grid_x, grid_y
     else:
         bx0, by0, bx1, by1 = tile_bounds
-    rx0 = jnp.clip(jnp.floor((xy[:, 0] - radius_f) / TILE), bx0, bx1)
-    ry0 = jnp.clip(jnp.floor((xy[:, 1] - radius_f) / TILE), by0, by1)
-    rx1 = jnp.clip(jnp.floor((xy[:, 0] + radius_f + TILE - 1) / TILE), bx0, bx1)
-    ry1 = jnp.clip(jnp.floor((xy[:, 1] + radius_f + TILE - 1) / TILE), by0, by1)
-    rect_w = (rx1 - rx0).astype(jnp.int32)
-    rect_h = (ry1 - ry0).astype(jnp.int32)
-    has_area = (rect_w * rect_h) > 0                          # forward.cu:226
 
+    def make_rect(radius):
+        rx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / TILE), bx0, bx1)
+        ry0 = jnp.clip(jnp.floor((xy[:, 1] - radius) / TILE), by0, by1)
+        rx1 = jnp.clip(jnp.floor((xy[:, 0] + radius + TILE - 1) / TILE),
+                       bx0, bx1)
+        ry1 = jnp.clip(jnp.floor((xy[:, 1] + radius + TILE - 1) / TILE),
+                       by0, by1)
+        return (rx0, ry0, (rx1 - rx0).astype(jnp.int32),
+                (ry1 - ry0).astype(jnp.int32))
+
+    _, _, ref_w, ref_h = make_rect(radius_f)
+    has_area = (ref_w * ref_h) > 0                            # forward.cu:226
     visible = alive & in_front & det_ok & has_area
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    tiles_touched = jnp.where(visible, rect_w * rect_h, 0).astype(jnp.int32)
+
+    if tight_opacity_culling:
+        # Opacity-aware tile culling (output-exact): a pixel passes the
+        # compositor's alpha >= 1/255 test (forward.cu:336-338) only if
+        # its Mahalanobis form q satisfies op*exp(-q/2) >= 1/255, i.e.
+        # q <= 2*ln(255*op). Since q >= d²/λmax(cov), every qualifying
+        # pixel lies within r_eff = sqrt(2*ln(255*op)*λmax) of the
+        # center — tiles beyond contribute nothing to the image, the
+        # transmittance, or any gradient, so dropping them changes only
+        # n_contrib bookkeeping. r_eff < 3σ whenever op < exp(4.5)/255
+        # (≈ 0.353); this prunes instance volume hard after opacity
+        # resets. Reported radii keep the reference 3σ formula (they
+        # feed the size-pruning heuristic, gaussian_model.py:412).
+        # slack absorbs fp rounding in the kernel's quadratic-expansion
+        # power (abs error ~1e-4): pixels the kernel would composite at
+        # exactly-threshold alpha must stay inside the rect.
+        alpha_lim = 2.0 * jnp.log(
+            jnp.maximum(255.0 * opacities, 1e-6)) + 0.02
+        r_eff = jnp.ceil(
+            jnp.sqrt(jnp.maximum(alpha_lim, 0.0) * lambda1)) + 1.0
+        rect_radius = jnp.minimum(radius_f, r_eff)
+        reachable = opacities >= (1.0 / 255.0)
+    else:
+        rect_radius = radius_f
+        reachable = True
+
+    rx0, ry0, rect_w, rect_h = make_rect(rect_radius)
+    tiles_touched = jnp.where(visible & reachable, rect_w * rect_h,
+                              0).astype(jnp.int32)
 
     if colors_override is None:
         rgb = sh_ops.sh_to_rgb(sh_degree, shs, means3d, camera_center)

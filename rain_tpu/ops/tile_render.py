@@ -490,11 +490,14 @@ def _composite_bwd(res, gtile):
     eidx = ebase[tile_c] + (i - a_starts[tile_c])
     covered = i < jnp.max(ends)
     eidx = jnp.where(covered, eidx, 0)
-    grads = jnp.where(covered[None, :], grads_e[:, eidx], 0.0)
-    d_xy = grads[0:2].T
-    d_conic = grads[2:5].T
-    d_op = grads[5]
-    d_color = grads[6:9].T
+    # transpose once, then row-gather (an axis-1 gather of 2M columns is
+    # far slower on TPU than a bandwidth-bound transpose + row gather)
+    grads_t = grads_e.T                               # [M_exp, 16]
+    inst_g = jnp.where(covered[:, None], grads_t[eidx], 0.0)
+    d_xy = inst_g[:, 0:2]
+    d_conic = inst_g[:, 2:5]
+    d_op = inst_g[:, 5]
+    d_color = inst_g[:, 6:9]
     d_depth = jnp.zeros_like(d_op)
     zi = np.zeros(starts.shape, jax.dtypes.float0)
     return (d_xy, d_conic, d_op, d_color, d_depth, zi, zi)

@@ -19,7 +19,6 @@ psum'd gradients equal single-chip gradients.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ Usage: python -m rain_tpu.scripts.render -m <model_path> [-s <scene>]
 
 from __future__ import annotations
 
-import argparse
 from pathlib import Path
 
 import numpy as np

@@ -11,7 +11,6 @@ overflow, and instance-buffer tier growth on overflow signals.
 from __future__ import annotations
 
 import json
-import math
 import random
 import time
 from pathlib import Path

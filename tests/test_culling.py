@@ -1,0 +1,80 @@
+"""Opacity-aware tile culling must not change rendered output.
+
+Tiles dropped by the tight bound contain no pixel that can pass the
+compositor's alpha >= 1/255 test, so the image, transmittance, and
+gradients are unchanged up to fp associativity (instance-list lengths
+shift the scan tree by ~1 ulp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rain_tpu.ops import projection as proj
+from rain_tpu.ops import render as render_ops
+from tests.conftest import make_camera, make_scene
+
+W, H = 48, 64
+
+
+def _run(scene, cam, tight, tap=None):
+    orig = proj.preprocess
+
+    def patched(*a, **kw):
+        kw["tight_opacity_culling"] = tight
+        return orig(*a, **kw)
+
+    render_ops.proj_ops.preprocess = patched
+    try:
+        return render_ops.render(
+            scene["means"], scene["scales"], scene["quats"],
+            scene["opac"], scene["shs"], scene["alive"], camera=cam,
+            width=W, height=H, sh_degree=3,
+            bg=jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+            max_instances=4096, xy_tap=tap)
+    finally:
+        render_ops.proj_ops.preprocess = orig
+
+
+@pytest.mark.parametrize("seed,bias", [(3, -2.0), (0, 0.0), (7, 3.0)])
+def test_culling_output_exact(seed, bias):
+    scene = make_scene(n=300, seed=seed, opac_bias=bias)
+    cam = make_camera(W, H)
+    a = _run(scene, cam, True)
+    b = _run(scene, cam, False)
+    assert int(a.num_instances) <= int(b.num_instances)
+    np.testing.assert_allclose(np.asarray(a.render), np.asarray(b.render),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.final_t),
+                               np.asarray(b.final_t), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.radii), np.asarray(b.radii))
+
+
+def test_culling_saves_instances_at_low_opacity():
+    # larger splats + low opacity: savings are tile-granular, so tiny
+    # splats (1-2 tiles) barely shrink — use a big-splat scene
+    scene = make_scene(n=300, seed=1, opac_bias=-3.5,
+                       scale_range=(-2.5, -1.5))
+    cam = make_camera(W, H)
+    a = _run(scene, cam, True)
+    b = _run(scene, cam, False)
+    assert int(a.num_instances) < 0.85 * int(b.num_instances)
+
+
+def test_culling_gradients_match():
+    scene = make_scene(n=200, seed=2, opac_bias=-1.5)
+    cam = make_camera(W, H)
+    tgt = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (3, H, W)), jnp.float32)
+
+    def loss(tight, means, opac):
+        s = dict(scene, means=means, opac=opac)
+        out = _run(s, cam, tight)
+        return jnp.abs(out.render - tgt).mean()
+
+    g_t = jax.grad(lambda m, o: loss(True, m, o), argnums=(0, 1))(
+        scene["means"], scene["opac"])
+    g_f = jax.grad(lambda m, o: loss(False, m, o), argnums=(0, 1))(
+        scene["means"], scene["opac"])
+    for a, b in zip(g_t, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)

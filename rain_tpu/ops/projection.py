@@ -228,47 +228,58 @@ def preprocess(means3d: jnp.ndarray,
     else:
         bx0, by0, bx1, by1 = tile_bounds
 
-    def make_rect(radius):
-        rx0 = jnp.clip(jnp.floor((xy[:, 0] - radius) / TILE), bx0, bx1)
-        ry0 = jnp.clip(jnp.floor((xy[:, 1] - radius) / TILE), by0, by1)
-        rx1 = jnp.clip(jnp.floor((xy[:, 0] + radius + TILE - 1) / TILE),
+    def make_rect(radius_x, radius_y):
+        rx0 = jnp.clip(jnp.floor((xy[:, 0] - radius_x) / TILE), bx0, bx1)
+        ry0 = jnp.clip(jnp.floor((xy[:, 1] - radius_y) / TILE), by0, by1)
+        rx1 = jnp.clip(jnp.floor((xy[:, 0] + radius_x + TILE - 1) / TILE),
                        bx0, bx1)
-        ry1 = jnp.clip(jnp.floor((xy[:, 1] + radius + TILE - 1) / TILE),
+        ry1 = jnp.clip(jnp.floor((xy[:, 1] + radius_y + TILE - 1) / TILE),
                        by0, by1)
         return (rx0, ry0, (rx1 - rx0).astype(jnp.int32),
                 (ry1 - ry0).astype(jnp.int32))
 
-    _, _, ref_w, ref_h = make_rect(radius_f)
+    _, _, ref_w, ref_h = make_rect(radius_f, radius_f)
     has_area = (ref_w * ref_h) > 0                            # forward.cu:226
     visible = alive & in_front & det_ok & has_area
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
     if tight_opacity_culling:
-        # Opacity-aware tile culling (output-exact): a pixel passes the
-        # compositor's alpha >= 1/255 test (forward.cu:336-338) only if
-        # its Mahalanobis form q satisfies op*exp(-q/2) >= 1/255, i.e.
-        # q <= 2*ln(255*op). Since q >= d²/λmax(cov), every qualifying
-        # pixel lies within r_eff = sqrt(2*ln(255*op)*λmax) of the
-        # center — tiles beyond contribute nothing to the image, the
-        # transmittance, or any gradient, so dropping them changes only
-        # n_contrib bookkeeping. r_eff < 3σ whenever op < exp(4.5)/255
-        # (≈ 0.353); this prunes instance volume hard after opacity
-        # resets. Reported radii keep the reference 3σ formula (they
-        # feed the size-pruning heuristic, gaussian_model.py:412).
-        # slack absorbs fp rounding in the kernel's quadratic-expansion
-        # power (abs error ~1e-4): pixels the kernel would composite at
-        # exactly-threshold alpha must stay inside the rect.
-        alpha_lim = 2.0 * jnp.log(
-            jnp.maximum(255.0 * opacities, 1e-6)) + 0.02
-        r_eff = jnp.ceil(
-            jnp.sqrt(jnp.maximum(alpha_lim, 0.0) * lambda1)) + 1.0
-        rect_radius = jnp.minimum(radius_f, r_eff)
+        # Output-exact tile culling (beyond the reference, which bins the
+        # bbox of a 3σ *circle* of radius 3·sqrt(λmax), forward.cu:219-225):
+        # a pixel passes the compositor's alpha >= 1/255 test
+        # (forward.cu:336-338) only if its Mahalanobis form q satisfies
+        # op*exp(-q/2) >= 1/255, i.e. q <= lim = 2*ln(255*op). The set
+        # {q <= lim} is an ellipse whose exact axis-aligned extents are
+        # sqrt(lim·cov00 / cov11); taking the per-axis min with the
+        # reference circle radius keeps the rect inside the reference
+        # bbox, and every pixel dropped is skipped by the reference loop
+        # anyway (alpha < 1/255, or outside its own rect), so image,
+        # transmittance, and all gradients are unchanged; only the
+        # n_contrib bookkeeping differs. Anisotropic splats and
+        # low-opacity splats (post-reset) shed most of their tiles.
+        # The +slack/+1px absorb fp rounding of the kernel's
+        # quadratic-expansion power (abs error ~1e-4) so borderline-alpha
+        # pixels stay inside. Reported radii keep the reference 3σ
+        # formula (they feed size pruning, gaussian_model.py:412).
+        # Caveat: pixels whose transmittance sits exactly at the 1e-4
+        # termination cutoff can flip their stopping point whenever fp
+        # grouping changes (instance-list length moves chunk
+        # boundaries); the resulting difference is bounded by that
+        # residual transmittance (<~1e-3) and applies equally to any
+        # reimplementation of the CUDA loop.
+        lim = jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1e-6)) + 0.02,
+            0.0)
+        r_x = jnp.minimum(radius_f,
+                          jnp.ceil(jnp.sqrt(lim * cov[:, 0])) + 1.0)
+        r_y = jnp.minimum(radius_f,
+                          jnp.ceil(jnp.sqrt(lim * cov[:, 2])) + 1.0)
         reachable = opacities >= (1.0 / 255.0)
     else:
-        rect_radius = radius_f
+        r_x = r_y = radius_f
         reachable = True
 
-    rx0, ry0, rect_w, rect_h = make_rect(rect_radius)
+    rx0, ry0, rect_w, rect_h = make_rect(r_x, r_y)
     tiles_touched = jnp.where(visible & reachable, rect_w * rect_h,
                               0).astype(jnp.int32)
 

@@ -1,0 +1,133 @@
+"""Break down train-step time at garden scale on the real TPU."""
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import numpy as np
+import jax
+import jax.numpy as jnp
+from rain_tpu.data.cameras import Camera
+from rain_tpu.model import adam as adam_mod
+from rain_tpu.model import gaussians as gmod
+from rain_tpu.train import step as step_mod
+from rain_tpu.ops import render as render_ops
+from rain_tpu.ops import projection as proj_ops
+from rain_tpu.ops import binning as binning_ops
+from rain_tpu.ops import tile_render
+from rain_tpu.ops.sh import rgb_to_sh_dc
+
+width, height = 1297, 840
+n = 262_144
+max_instances = 2_097_152
+rng = np.random.default_rng(0)
+pts = np.concatenate([rng.uniform(-3, 3, (n, 2)),
+                      rng.uniform(2.0, 12.0, (n, 1))], axis=1).astype(np.float32)
+cols = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+state = gmod.from_arrays(
+    xyz=pts, f_dc=rgb_to_sh_dc(cols)[:, None, :],
+    f_rest=np.zeros((n, 15, 3), np.float32),
+    scaling=np.full((n, 3), -4.5, np.float32),
+    rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+    opacity=np.full((n, 1), -1.0, np.float32), capacity=n)
+opt = adam_mod.init(state.params)
+cam = Camera(uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
+             fovx=1.0, fovy=0.7, image=None, width=width, height=height)
+camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+gt = jnp.asarray(rng.uniform(0, 1, (3, height, width)), jnp.float32)
+bg = jnp.zeros((3,), jnp.float32)
+opt_cfg = dict(feature_lr=0.0025, opacity_lr=0.05, scaling_lr=0.005,
+               rotation_lr=0.001)
+
+def timeit(name, fn, *args, reps=5, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:30s} {dt*1000:8.2f} ms")
+    return out
+
+# full step
+full = lambda: step_mod.train_step(
+    state, opt, camera, gt, bg, jnp.float32(0.3), jnp.float32(1.6e-4),
+    width=width, height=height, sh_degree=3, max_instances=max_instances,
+    opt_cfg_leaves=opt_cfg)
+timeit("train_step (fwd+bwd+adam)", full)
+
+grid_x = (width + 15) // 16
+grid_y = (height + 15) // 16
+
+alive = gmod.alive_mask(state)
+scales, quats, opac, shs = gmod.activate(state.params)
+
+@jax.jit
+def prep_fn():
+    return proj_ops.preprocess(
+        state.params.xyz, scales, quats, opac, shs, alive, sh_degree=3,
+        world_view=camera["world_view"], full_proj=camera["full_proj"],
+        camera_center=camera["camera_center"],
+        tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
+        width=width, height=height, low_pass=0.3)
+prep = timeit("preprocess (fwd only)", prep_fn)
+
+@jax.jit
+def bin_fn():
+    return binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances)
+binn = timeit("binning", bin_fn)
+print("num_instances:", int(binn.num_instances))
+
+@jax.jit
+def gather_fn():
+    pergauss = jnp.concatenate([
+        prep.xy, prep.conic, prep.opacity[:, None], prep.rgb,
+        prep.depth[:, None]], axis=1)
+    pergauss = jnp.concatenate([pergauss, jnp.zeros_like(pergauss[:1])], axis=0)
+    return pergauss[binn.gauss_idx]
+inst = timeit("instance gather", gather_fn)
+
+tid = jnp.minimum(binn.tile_id, grid_x * grid_y - 1)
+tx = tid % grid_x
+ty = tid // grid_x
+origin = jnp.stack([tx * 16, ty * 16], axis=-1).astype(jnp.float32)
+xy_local = inst[:, 0:2] - origin
+
+@jax.jit
+def comp_fwd():
+    return tile_render.composite(xy_local, inst[:, 2:5], inst[:, 5],
+                                 inst[:, 6:9], inst[:, 9],
+                                 binn.tile_start, binn.tile_end)
+tiles = timeit("composite fwd (pallas)", comp_fwd)
+
+@jax.jit
+def comp_fwdbwd():
+    def f(xy, con, op, col, dep):
+        t = tile_render.composite(xy, con, op, col, dep,
+                                  binn.tile_start, binn.tile_end)
+        return jnp.sum(t[..., 0:3]) + jnp.sum(t[..., 5])
+    return jax.grad(f, argnums=(0, 1, 2, 3))(
+        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9])
+timeit("composite fwd+bwd (pallas)", comp_fwdbwd)
+
+# full forward render only
+@jax.jit
+def render_fwd():
+    return render_ops.render(
+        state.params.xyz, scales, quats, opac, shs, alive, camera=camera,
+        width=width, height=height, sh_degree=3, bg=bg, low_pass=0.3,
+        max_instances=max_instances)
+timeit("render fwd (end to end)", render_fwd)
+
+# fwd+bwd of full loss
+from rain_tpu.ops import losses as loss_ops
+@jax.jit
+def loss_grad():
+    def loss_fn(params):
+        s, q, o, sh_ = gmod.activate(params)
+        out = render_ops.render(params.xyz, s, q, o, sh_, alive,
+                                camera=camera, width=width, height=height,
+                                sh_degree=3, bg=bg, low_pass=0.3,
+                                max_instances=max_instances)
+        loss, l1 = loss_ops.training_loss(out.render, gt, 0.2)
+        return loss
+    return jax.grad(loss_fn)(state.params)
+timeit("loss fwd+bwd (no adam/tap)", loss_grad)

@@ -91,7 +91,7 @@ def test_densify_split_big_high_grad():
     assert int(info.n_alive) == 18
     # children scales divided by divide_ratio*N=1.6 (log-space)
     child_scales = np.asarray(s2.params.scaling[14:18])
-    np.testing.assert_allclose(child_scales, 2.0 - np.log(1.6), rtol=1e-5)
+    np.testing.assert_allclose(child_scales, 2.0 - np.log(1.6), rtol=5e-5)
     # survivors keep relative order: rows 2..15 shift to 0..13
     np.testing.assert_allclose(np.asarray(s2.params.xyz[:14]),
                                np.asarray(state.params.xyz[2:16]),

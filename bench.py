@@ -26,6 +26,8 @@ BASELINE_ITERS_PER_S = 10.0
 
 
 def main():
+    from rain_tpu.cache import enable_compile_cache
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     from rain_tpu.data.cameras import Camera

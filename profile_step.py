@@ -2,6 +2,8 @@
 import os, sys, time, json
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
+from rain_tpu.cache import enable_compile_cache
+enable_compile_cache()
 import jax
 import jax.numpy as jnp
 from rain_tpu.data.cameras import Camera

@@ -13,9 +13,11 @@ from pathlib import Path
 import numpy as np
 
 from rain_tpu import config as cfg_mod
+from rain_tpu.cache import enable_compile_cache
 
 
 def main(argv=None):
+    enable_compile_cache()
     parser = cfg_mod.build_parser("rain-tpu training")
     parser.add_argument("--test_iterations", nargs="+", type=int,
                         default=[7000, 30000])

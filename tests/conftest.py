@@ -18,7 +18,10 @@ import pytest  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
+from rain_tpu.cache import enable_compile_cache  # noqa: E402
 from rain_tpu.data.cameras import Camera  # noqa: E402
+
+enable_compile_cache()
 
 
 def make_scene(n=200, seed=0, z_range=(2.0, 6.0), scale_range=(-3.5, -2.0),

@@ -21,6 +21,14 @@ def enable_compile_cache(path: str | None = None) -> None:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass  # cache is an optimization; never fail an entry point over it
+        # Keep the default min entry size (avoids unbounded growth from
+        # many tiny entries) and bound the cache so LRU eviction stays on.
+        try:
+            jax.config.update("jax_compilation_cache_max_size", 4 << 30)
+        except Exception:
+            pass  # flag absent on older JAX; default behavior is fine
+    except Exception as exc:
+        # cache is an optimization; never fail an entry point over it —
+        # but don't hide misconfiguration (unwritable dir, unknown flag).
+        import warnings
+        warnings.warn(f"rain_tpu: persistent compile cache disabled: {exc!r}")

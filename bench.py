@@ -38,7 +38,9 @@ def main():
     width, height = 1297, 840
     n = 262_144
     cap = n
-    max_instances = 2_097_152
+    # the instance-buffer tier the Trainer's overflow-doubling logic
+    # settles on for this scene's ~613k instances (trainer.py:_grow_instances)
+    max_instances = 1_048_576
 
     rng = np.random.default_rng(0)
     pts = np.concatenate([

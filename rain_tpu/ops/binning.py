@@ -3,19 +3,25 @@
 TPU-native re-design of the CUDA binning stage
 (cuda_rasterizer/rasterizer_impl.cu:187-330). The CUDA code duplicates one
 key per (Gaussian, touched tile) with key = tileID<<32 | float-bits(depth)
-and radix-sorts 64-bit keys. We get the identical ordering with two cheaper,
-static-shape XLA passes:
+and radix-sorts 64-bit keys. We get the identical ordering with cheaper,
+static-shape XLA passes built around the Gaussian's *depth rank*:
 
 1. argsort Gaussians by depth once (stable; invisible → +inf keys sort
-   last). Instances are then *generated already depth-ordered*.
-2. expand Gaussians into per-(Gaussian, tile) instances with a cumsum +
-   scatter-bump prefix-sum assignment (replaces the CUB InclusiveSum + the
-   per-thread duplication loop, rasterizer_impl.cu:269,:281-290),
-   enumerating each rect row-major exactly like duplicateWithKeys.
-3. stable-sort instances by tile id only (32-bit): stability preserves the
-   depth order within a tile, so the final order equals the CUDA 64-bit
-   (tile, depth-bits) radix sort — including tie-breaking by Gaussian index
-   (argsort stability).
+   last). Instances are then *generated already depth-ordered*, identified
+   by (tile, depth-rank) pairs.
+2. expand Gaussians into per-(Gaussian, tile) instances: the
+   instance→rank step function comes from a scatter-bump + prefix sum
+   (replaces the CUB InclusiveSum + per-thread duplication loop,
+   rasterizer_impl.cu:269,:281-290); rects are enumerated row-major
+   exactly like duplicateWithKeys via three rank-indexed 1-D gathers
+   (TPU row-gathers of wide rows are ~5 GB/s, so per-instance data is
+   kept to three int32 streams here).
+3. sort by (tile, rank). When (n_tiles+1) << rank_bits fits in int31 the
+   pair is packed into ONE int32 key and sorted unstably (the packed keys
+   are unique, and rank order == stable depth order), halving sort
+   traffic; otherwise a stable two-operand sort by tile only. Both equal
+   the CUDA 64-bit (tile, depth-bits) radix order — including
+   tie-breaking by Gaussian index (argsort stability).
 4. per-tile [start, end) ranges via searchsorted (identifyTileRanges,
    rasterizer_impl.cu:105-127).
 
@@ -37,6 +43,10 @@ from rain_tpu.ops.projection import Preprocessed
 
 
 class Binning(NamedTuple):
+    order: jnp.ndarray         # [N] int32 depth order (rank → Gaussian)
+    rank: jnp.ndarray          # [M] int32 depth rank per sorted instance
+    #   (== N for padding instances — index of the zero dump row in a
+    #   depth-ordered, one-row-padded per-Gaussian table)
     gauss_idx: jnp.ndarray     # [M] int32 Gaussian index per instance
     #   (index into the capacity-N arrays; == N for padding instances)
     tile_id: jnp.ndarray       # [M] int32 sorted tile ids (== n_tiles pad)
@@ -64,60 +74,71 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     n = prep.depth.shape[0]
     if n_tiles is None:
         n_tiles = grid_x * grid_y
+    M = max_instances
 
     visible = prep.tiles_touched > 0
     depth_key = jnp.where(visible, prep.depth, jnp.inf)
-    order = jnp.argsort(depth_key, stable=True)          # [N] depth order
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
 
     tiles_o = prep.tiles_touched[order]
     offs = jnp.cumsum(tiles_o)                           # inclusive
     total = offs[-1]
+    exc = (offs - tiles_o).astype(jnp.int32)
 
-    # all depth-ordered per-Gaussian integers the expansion needs, packed
-    # so each instance performs ONE row gather (separate [M]<-[N] gathers
-    # cost ~25ms each at 2M instances on TPU)
-    pack = jnp.stack([
-        offs - tiles_o,                                  # exclusive offset
-        prep.rect_min[order, 0], prep.rect_min[order, 1],
-        jnp.maximum(prep.rect_wh[order, 0], 1),
-        order.astype(jnp.int32),
-    ], axis=1)                                           # [N, 5]
-
-    i = jnp.arange(max_instances, dtype=jnp.int32)
-    # instance→Gaussian assignment: g_i = #{g : offs[g] <= i}. A binary
-    # search (searchsorted) costs ~300ms at 2M instances on TPU; the
-    # scatter+cumsum formulation below is ~10x faster: bump a counter at
-    # each Gaussian's end offset, then prefix-sum. Duplicate offsets
+    # instance→rank step function: r_i = #{g : offs[g] <= i}. A binary
+    # search costs ~300ms at 2M on TPU; scatter a bump at each Gaussian's
+    # end offset and prefix-sum instead (~10x faster). Duplicate offsets
     # (invisible Gaussians with zero tiles) accumulate correctly.
-    bumps = jnp.zeros((max_instances,), jnp.int32).at[offs].add(
-        1, mode="drop")
-    g_c = jnp.minimum(jnp.cumsum(bumps), n - 1)
-    row = pack[g_c]                                      # [M, 5]
-    local = i - row[:, 0]
-    w = row[:, 3]
-    dy = local // w                                       # row-major rect
-    dx = local - dy * w                                   # enumeration
-    tx = row[:, 1] + dx
-    ty = row[:, 2] + dy
-    tile = (ty * grid_x + tx - tile_offset).astype(jnp.int32)
-    valid = i < jnp.minimum(total, max_instances)
-    tile = jnp.where(valid, tile, n_tiles)
+    i = jnp.arange(M, dtype=jnp.int32)
+    bumps = jnp.zeros((M,), jnp.int32).at[offs].add(1, mode="drop")
+    rank = jnp.minimum(jnp.cumsum(bumps), n - 1)
 
-    # stable sort by tile id only; the original Gaussian index rides as a
-    # payload so no post-sort gather is needed
-    tile_sorted, gauss_sorted = jax.lax.sort(
-        (tile, row[:, 4]), dimension=0, is_stable=True, num_keys=1)
-    gauss_sorted = jnp.where(tile_sorted < n_tiles, gauss_sorted, n)
+    # depth-ordered per-Gaussian rect data, fetched per instance with
+    # three narrow 1-D gathers (row-major rect enumeration like
+    # duplicateWithKeys)
+    w_d = jnp.maximum(prep.rect_wh[order, 0], 1).astype(jnp.int32)
+    base_d = (prep.rect_min[order, 1] * grid_x +
+              prep.rect_min[order, 0]).astype(jnp.int32)
+    local = i - exc[rank]
+    w_i = w_d[rank]
+    dy = local // w_i
+    dx = local - dy * w_i
+    tile = base_d[rank] + dy * grid_x + dx - tile_offset
+    valid = i < jnp.minimum(total, M)
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
+
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    if (n_tiles + 1) << rank_bits <= 2 ** 31:
+        # packed single-key unstable sort: keys are unique (one instance
+        # per (tile, Gaussian)), so order equals the stable two-key sort
+        key = (tile << rank_bits) | jnp.where(valid, rank, 0)
+        key_sorted = jax.lax.sort((key,), dimension=0, is_stable=False,
+                                  num_keys=1)[0]
+        tile_sorted = key_sorted >> rank_bits
+        rank_sorted = key_sorted & ((1 << rank_bits) - 1)
+    else:
+        tile_sorted, rank_sorted = jax.lax.sort(
+            (tile, jnp.where(valid, rank, 0)), dimension=0,
+            is_stable=True, num_keys=1)
+
+    in_range = tile_sorted < n_tiles
+    rank_sorted = jnp.where(in_range, rank_sorted, n)
+    # order padded with a dump index so order_pad[rank_sorted] is safe
+    order_pad = jnp.concatenate(
+        [order, jnp.full((1,), n, jnp.int32)])
+    gauss_sorted = order_pad[rank_sorted]
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_sorted, tids, side="left")
     tile_end = jnp.searchsorted(tile_sorted, tids, side="right")
 
     return Binning(
+        order=order,
+        rank=rank_sorted.astype(jnp.int32),
         gauss_idx=gauss_sorted.astype(jnp.int32),
-        tile_id=tile_sorted,
+        tile_id=tile_sorted.astype(jnp.int32),
         tile_start=tile_start.astype(jnp.int32),
         tile_end=tile_end.astype(jnp.int32),
         num_instances=total,
-        overflow=total > max_instances,
+        overflow=total > M,
     )

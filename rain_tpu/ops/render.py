@@ -53,8 +53,9 @@ def render_tiles(prep: proj_ops.Preprocessed,
     """Composite a horizontal band of tile rows [ty0, ty1).
 
     Returns tiles [n_band_tiles, 256, 8] plus (num_instances, overflow).
-    The single-chip path uses the full band; the sharded path gives each
-    chip its own band.
+    The single-chip path uses the full band; the sharded path
+    (parallel.sharding) builds its own band pipeline with a traced
+    band offset.
     """
     n = prep.depth.shape[0]
     n_tiles = (ty1 - ty0) * grid_x
@@ -64,27 +65,26 @@ def render_tiles(prep: proj_ops.Preprocessed,
 
     xy = prep.xy if xy_tap is None else prep.xy + xy_tap
 
-    gidx = binn.gauss_idx                       # [M], == n for padding
+    # One row-gather of raw per-Gaussian rendering attributes (16-wide
+    # rows, dump row at index N for padding instances), then one
+    # transpose into the kernel's [16, M] layout. The gather's VJP is a
+    # deterministic scatter-add — the atomicAdd replacement
+    # (backward.cu:513-544). The kernel derives tile-local quadratics
+    # itself, so no per-instance math happens here.
+    z = jnp.zeros_like(prep.depth)
+    table = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        xy[:, 0], xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth, z, z, z, z, z, z], axis=-1)           # [N, 16]
+    table = jnp.concatenate(
+        [table, jnp.zeros_like(table[:1])], axis=0)       # dump row
+    pack = table[binn.gauss_idx].T                        # [16, M]
 
-    # single row-gather of all per-Gaussian rendering attributes (one
-    # [M, 10] gather instead of five separate ones; its VJP is likewise a
-    # single scatter-add)
-    pergauss = jnp.concatenate([
-        xy, prep.conic, prep.opacity[:, None], prep.rgb,
-        prep.depth[:, None]], axis=1)
-    pergauss = jnp.concatenate(
-        [pergauss, jnp.zeros_like(pergauss[:1])], axis=0)
-    inst = pergauss[gidx]                       # [M, 10]
-
-    tid = jnp.minimum(binn.tile_id, n_tiles - 1)
-    tx = tid % grid_x
-    ty = tid // grid_x + ty0
-    origin = jnp.stack([tx * TILE, ty * TILE], axis=-1).astype(jnp.float32)
-    xy_local = inst[:, 0:2] - origin
-
+    toff = jnp.asarray([ty0 * grid_x], jnp.int32) if isinstance(ty0, int) \
+        else (ty0 * grid_x).astype(jnp.int32)[None]
     tiles = tile_render.composite(
-        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9],
-        binn.tile_start, binn.tile_end)
+        pack, binn.tile_start, binn.tile_end, toff, grid_x)
     return tiles, binn.num_instances, binn.overflow
 
 

@@ -9,8 +9,13 @@ same math is reformulated for the MXU/VPU:
 - The Gaussian falloff power is a quadratic in the (tile-local) pixel
   coordinates, so a whole 256-instance chunk's powers for all 256 pixels is
   ONE matmul: power[256px, 256inst] = PixQuad[256, 8] @ Coef[8, 256], where
-  Coef rows are per-instance quadratic coefficients (packed in XLA).
-  Tile-local coordinates keep the expansion numerically safe in f32.
+  Coef rows are per-instance quadratic coefficients. The coefficients are
+  derived IN-KERNEL from the raw per-instance rows (conic a/b/c + global
+  pixel-space mean) and the tile's origin (program id + prefetched tile
+  offset): tile-local coordinates keep the quadratic expansion numerically
+  safe in f32, and the host-side instance stream stays raw per-Gaussian
+  data — one row-gather, no per-instance XLA math, no giant transpose of
+  derived quantities.
 - Front-to-back alpha compositing is associative: with per-instance
   one-minus-alpha factors, the per-instance incoming transmittance T_in is
   a cumulative product along the instance (lane) axis — a log2(K)-step
@@ -29,8 +34,11 @@ same math is reformulated for the MXU/VPU:
   gradients are deterministic column reductions + matmuls. The suffix-sum
   seed per pixel is C·g (the forward color dotted with the cotangent), so
   the backward is single-pass. Per-instance gradients are written to HBM
-  and reduced to per-Gaussian gradients by XLA's (deterministic) gather
-  transpose — replacing atomicAdd (backward.cu:513-544).
+  compactly (column i = instance i; adjacent tiles' shared 256-aligned
+  boundary windows are merged through a persistent-VMEM carry across the
+  sequentially-executed grid programs) and reduced to per-Gaussian
+  gradients by XLA's (deterministic) gather transpose — replacing
+  atomicAdd (backward.cu:513-544).
 
 Alpha semantics match the reference bit-for-bit in structure:
   alpha = min(0.99, opacity * exp(power)); skip if power > 0 or
@@ -63,7 +71,15 @@ ALPHA_CLAMP = 0.99
 # Output tile channels.
 CH_R, CH_G, CH_B, CH_DEPTH, CH_ALPHA, CH_T, CH_NCONTRIB, CH_PAD = range(8)
 
+# Instance-pack rows (raw per-Gaussian data, [16, M] layout):
+#   0: conic a   1: conic b   2: conic c
+#   3: xg (global pixel x)    4: yg (global pixel y)
+#   5: opacity   6..8: rgb    9: depth   10..15: zero padding
+ROW_A, ROW_B, ROW_C, ROW_XG, ROW_YG, ROW_OP, ROW_R, ROW_G, ROW_B2, \
+    ROW_DEPTH = range(10)
+
 _f32 = jnp.float32
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _pixquad() -> np.ndarray:
@@ -84,35 +100,19 @@ def _pixquad() -> np.ndarray:
     return q
 
 
-def pack_instances(xy_local, conic, opacity, color, depth):
-    """Pack per-instance data into the [16, M] kernel layout.
-
-    Rows 0..7 feed the power matmul (quadratic coefficients + opacity);
-    rows 8..15 feed the output matmul / backward:
-      [cxx, cyy, cxy, cx, cy, c0, opacity, 0,
-       r, g, b, depth, 1, xg_local, yg_local, 0]
-    The quadratic expansion of the reference falloff
-    power = -0.5*a*dx^2 - 0.5*c*dy^2 - b*dx*dy with dx = xg - px
-    (forward.cu:326-328) in pixel basis [px^2, py^2, px*py, px, py, 1].
-    """
-    xg, yg = xy_local[:, 0], xy_local[:, 1]
-    a, b, c = conic[:, 0], conic[:, 1], conic[:, 2]
-    rows = [
-        -0.5 * a,
-        -0.5 * c,
-        -b,
-        a * xg + b * yg,
-        c * yg + b * xg,
-        -0.5 * (a * xg * xg + c * yg * yg) - b * xg * yg,
+def pack_rows(xy, conic, opacity, color, depth):
+    """Raw per-Gaussian (or per-instance) rows in the [16, N] kernel
+    layout (see ROW_* above); xy is in GLOBAL pixel coordinates — the
+    kernel shifts to tile-local itself."""
+    z = jnp.zeros_like(depth)
+    return jnp.stack([
+        conic[:, 0], conic[:, 1], conic[:, 2],
+        xy[:, 0], xy[:, 1],
         opacity,
-        jnp.zeros_like(a),
         color[:, 0], color[:, 1], color[:, 2],
         depth,
-        jnp.ones_like(a),
-        xg, yg,
-        jnp.zeros_like(a),
-    ]
-    return jnp.stack(rows, axis=0)
+        z, z, z, z, z, z,
+    ], axis=0)
 
 
 def _cumprod_lanes(x):
@@ -127,6 +127,16 @@ def _cumprod_lanes(x):
     return x
 
 
+def _exclusive_from_inclusive(cum):
+    """Exclusive cumulative product from the inclusive one (one lane roll
+    + select instead of a per-element divide, which costs ~10x more VPU
+    cycles than a multiply)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, cum.shape, len(cum.shape) - 1)
+    return jnp.where(col >= 1,
+                     pltpu.roll(cum, shift=1, axis=len(cum.shape) - 1),
+                     1.0)
+
+
 def _cumsum_lanes(x):
     """Inclusive cumulative sum along the last (lane) axis."""
     k = x.shape[-1]
@@ -139,15 +149,34 @@ def _cumsum_lanes(x):
     return x
 
 
-def _chunk_alpha(pack_c, pixquad, start, end, gidx0):
-    """Shared fwd/bwd chunk math: alpha and friends for one 256x256 block.
+def _chunk_terms(pack_c, pixquad, ox, oy, start, end, gidx0):
+    """Shared fwd/bwd chunk math for one [P, CHUNK] block.
 
-    Returns (power, G, alpha, om) each [P, CHUNK]; alpha is zeroed for
-    skipped instances (power>0, alpha<1/255, out-of-range lanes).
+    Derives the tile-local quadratic coefficients from the raw rows and
+    the tile origin (ox, oy), then alpha with the reference skip rules
+    (power > 0, alpha < 1/255, out-of-range lanes → alpha = 0).
+
+    Returns (G, alpha, om, gidx, xgl, ygl) — xgl/ygl are [1, CHUNK]
+    tile-local means reused by the backward.
     """
-    power = jnp.dot(pixquad, pack_c[0:8, :], preferred_element_type=_f32,
-                    precision=jax.lax.Precision.HIGHEST)
-    op = pack_c[6:7, :]
+    a = pack_c[ROW_A:ROW_A + 1, :]
+    b = pack_c[ROW_B:ROW_B + 1, :]
+    c = pack_c[ROW_C:ROW_C + 1, :]
+    xgl = pack_c[ROW_XG:ROW_XG + 1, :] - ox
+    ygl = pack_c[ROW_YG:ROW_YG + 1, :] - oy
+    op = pack_c[ROW_OP:ROW_OP + 1, :]
+    zero = jnp.zeros_like(a)
+    coef = jnp.concatenate([
+        -0.5 * a,
+        -0.5 * c,
+        -b,
+        a * xgl + b * ygl,
+        c * ygl + b * xgl,
+        -0.5 * (a * xgl * xgl + c * ygl * ygl) - b * xgl * ygl,
+        zero, zero,
+    ], axis=0)                                           # [8, CHUNK]
+    power = jnp.dot(pixquad, coef, preferred_element_type=_f32,
+                    precision=_HI)
     G = jnp.exp(power)
     alpha = jnp.minimum(op * G, ALPHA_CLAMP)
     lane = jax.lax.broadcasted_iota(jnp.int32, power.shape, 1)
@@ -155,16 +184,34 @@ def _chunk_alpha(pack_c, pixquad, start, end, gidx0):
     valid = (gidx >= start) & (gidx < end)
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN) | ~valid,
                       0.0, alpha)
-    return power, G, alpha, 1.0 - alpha, gidx
+    return G, alpha, 1.0 - alpha, gidx, xgl, ygl
 
 
-def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
-                buf, sem, acc_ref):
+def _feat8(pack_c):
+    """[8, CHUNK] feature rows for the accumulation matmul:
+    [r, g, b, depth, 1, 0, 0, 0] → output channels
+    [r, g, b, depth, alpha, 0, 0, 0]."""
+    ones = jnp.ones_like(pack_c[0:1, :])
+    zero = jnp.zeros_like(pack_c[0:3, :])
+    return jnp.concatenate([pack_c[ROW_R:ROW_DEPTH + 1, :], ones, zero],
+                           axis=0)
+
+
+def _origin(t, toff_ref, grid_x):
+    gt = t + toff_ref[0]
+    ox = (jax.lax.rem(gt, grid_x) * TILE).astype(_f32)
+    oy = (jax.lax.div(gt, grid_x) * TILE).astype(_f32)
+    return ox, oy
+
+
+def _fwd_kernel(grid_x, starts_ref, ends_ref, toff_ref, pack_hbm,
+                pixquad_ref, out_ref, buf, sem, acc_ref):
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
     a_start = (start // CHUNK) * CHUNK
     nchunks = (end - a_start + CHUNK - 1) // CHUNK
+    ox, oy = _origin(t, toff_ref, grid_x)
 
     def dma(slot, c):
         off = pl.multiple_of(a_start + c * CHUNK, CHUNK)
@@ -191,17 +238,17 @@ def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
         def compute(carry):
             t_vec, nc = carry
             pack_c = buf[slot]
-            _, _, alpha, om, gidx = _chunk_alpha(
-                pack_c, pixquad, start, end, a_start + c * CHUNK)
+            _, alpha, om, gidx, _, _ = _chunk_terms(
+                pack_c, pixquad, ox, oy, start, end, a_start + c * CHUNK)
             cum = _cumprod_lanes(om)
             t_after = t_vec * cum
+            t_in = t_vec * _exclusive_from_inclusive(cum)
             m = t_after >= T_EPS
-            w = jnp.where(m, alpha * t_after / om, 0.0)
+            w = jnp.where(m, alpha * t_in, 0.0)
             acc_ref[:] += jax.lax.dot_general(
-                w, pack_c[8:16, :],
+                w, _feat8(pack_c),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=_f32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=_f32, precision=_HI)
             # frozen transmittance = t_after at the last in-threshold
             # lane (monotone decreasing), = min over masked lanes;
             # t_vec if no lane passes. (reduce_prod is unsupported in
@@ -224,35 +271,62 @@ def _fwd_kernel(starts_ref, ends_ref, pack_hbm, pixquad_ref, out_ref,
         [acc[:, 0:5], t_vec, nc, jnp.zeros((P, 1), _f32)], axis=1)
 
 
-def _bwd_kernel(starts_ref, ends_ref, ebase_ref, pack_hbm, pixquad_ref,
-                tiles_ref, gtile_ref, gout_ref, buf, obuf, sem, osem):
-    # Mosaic requires dynamic lane offsets divisible by the 128-lane
-    # tiling, so loads use the same CHUNK-aligned scheme as the forward
-    # kernel, and each tile's gradient chunks are stored into its own
-    # CHUNK-aligned, disjoint region of an *expanded* output (per-tile
-    # bases in ebase_ref, precomputed in XLA); the caller gathers the
-    # per-instance gradients back from the expanded layout.
+def _bwd_kernel(grid_x, starts_ref, ends_ref, toff_ref, pack_hbm,
+                pixquad_ref, tiles_ref, gtile_ref, gout_ref, buf, obuf,
+                carry_ref, sem, osem, csem, st_ref):
+    # Gradient output layout: COMPACT — gout[:, i] is instance i's
+    # gradient column. Mosaic requires CHUNK-aligned dynamic offsets, and
+    # two adjacent tiles' aligned windows share at most one boundary
+    # window (tile t's first window == tile t-1's last window unless the
+    # range boundary is CHUNK-aligned). Because the TPU grid executes
+    # programs sequentially, the kernel holds each tile's LAST gradient
+    # chunk in persistent VMEM scratch (carry_ref) instead of writing it;
+    # the next non-empty tile either merges it into its own first chunk
+    # (lane-disjoint contributions, so a plain add) or flushes it if its
+    # windows don't overlap. This replaces the round-1 expanded layout
+    # whose transpose + 4M-row gather epilogue dominated the backward.
+    # st_ref (SMEM): [0] = carried window base, [1] = carried valid flag,
+    # [2] = carry-flush DMA pending.
     t = pl.program_id(0)
     start = starts_ref[t]
     end = ends_ref[t]
-    ebase = ebase_ref[t]
     a_start = (start // CHUNK) * CHUNK
     nchunks = jnp.where(end > start,
                         (end - a_start + CHUNK - 1) // CHUNK, 0)
+    ox, oy = _origin(t, toff_ref, grid_x)
+
+    @pl.when(t == 0)
+    def _():
+        st_ref[1] = 0
+        st_ref[2] = 0
 
     def dma_in(slot, c):
         off = pl.multiple_of(a_start + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             pack_hbm.at[:, pl.ds(off, CHUNK)], buf.at[slot], sem.at[slot])
 
-    def dma_out(slot, c):
-        off = pl.multiple_of(ebase + c * CHUNK, CHUNK)
+    def dma_out(slot, base):
+        off = pl.multiple_of(base, CHUNK)
         return pltpu.make_async_copy(
             obuf.at[slot], gout_ref.at[:, pl.ds(off, CHUNK)], osem.at[slot])
+
+    def dma_carry_flush():
+        off = pl.multiple_of(st_ref[0], CHUNK)
+        return pltpu.make_async_copy(
+            carry_ref, gout_ref.at[:, pl.ds(off, CHUNK)], csem)
 
     @pl.when(nchunks > 0)
     def _():
         dma_in(0, 0).start()
+
+    merge_first = (st_ref[1] == 1) & (st_ref[0] == a_start) & (nchunks > 0)
+    flush_now = (st_ref[1] == 1) & (nchunks > 0) & ~merge_first
+
+    # carried window disjoint from this tile's windows → flush it now
+    @pl.when(flush_now)
+    def _():
+        dma_carry_flush().start()
+        st_ref[2] = 1
 
     pixquad = pixquad_ref[:]
     px = pixquad[:, 3:4]
@@ -282,20 +356,19 @@ def _bwd_kernel(starts_ref, ends_ref, ebase_ref, pack_hbm, pixquad_ref,
         def compute(carry):
             t_vec, r_vec = carry
             pack_c = buf[slot]
-            power, G, alpha, om, _ = _chunk_alpha(
-                pack_c, pixquad, start, end, a_start + c * CHUNK)
+            G, alpha, om, _, xgl, ygl = _chunk_terms(
+                pack_c, pixquad, ox, oy, start, end, a_start + c * CHUNK)
             cum = _cumprod_lanes(om)
             t_after = t_vec * cum
+            t_in = t_vec * _exclusive_from_inclusive(cum)
             m = t_after >= T_EPS
-            t_in = t_after / om
             w = jnp.where(m, alpha * t_in, 0.0)
 
             # cg[p, k] = sum_ch g[p, ch] * color[ch, k]
             cg = jax.lax.dot_general(
-                g8, pack_c[8:16, :],
+                g8, _feat8(pack_c),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=_f32,
-                precision=jax.lax.Precision.HIGHEST)
+                preferred_element_type=_f32, precision=_HI)
             v = w * cg
             s_after = r_vec - _cumsum_lanes(v)
             active = m & (alpha > 0.0)
@@ -304,14 +377,12 @@ def _bwd_kernel(starts_ref, ends_ref, ebase_ref, pack_hbm, pixquad_ref,
                 t_in * cg - (s_after + t_final * g_t) / om,
                 0.0)
 
-            op = pack_c[6:7, :]
-            a = -2.0 * pack_c[0:1, :]
-            cc = -2.0 * pack_c[1:2, :]
-            b = -pack_c[2:3, :]
-            xg = pack_c[13:14, :]
-            yg = pack_c[14:15, :]
-            dx = xg - px
-            dy = yg - py
+            op = pack_c[ROW_OP:ROW_OP + 1, :]
+            a = pack_c[ROW_A:ROW_A + 1, :]
+            b = pack_c[ROW_B:ROW_B + 1, :]
+            cc = pack_c[ROW_C:ROW_C + 1, :]
+            dx = xgl - px
+            dy = ygl - py
             gd = (op * dalpha) * G             # dL/dG * G
 
             def colsum(x):
@@ -340,24 +411,65 @@ def _bwd_kernel(starts_ref, ends_ref, ebase_ref, pack_hbm, pixquad_ref,
         t_new, r_new, grows = jax.lax.cond(
             jnp.all(t_vec < T_EPS), skip, compute, (t_vec, r_vec))
 
-        @pl.when(c >= 2)
-        def _():
-            dma_out(slot, c - 2).wait()
+        # merge the previous tile's held boundary window into this tile's
+        # first chunk (lane-disjoint instance ranges → plain add)
+        grows = jnp.where(merge_first & (c == 0),
+                          grows + carry_ref[:], grows)
 
-        obuf[slot] = grows
-        dma_out(slot, c).start()
+        @pl.when(c == nchunks - 1)
+        def _():
+            # hold this tile's last window in the carry (flushed/merged by
+            # a later program); wait for any pending flush of the OLD
+            # carry before overwriting the buffer
+            @pl.when(st_ref[2] == 1)
+            def _():
+                dma_carry_flush().wait()
+                st_ref[2] = 0
+            carry_ref[:] = grows
+            # update carried-window metadata AFTER the flush used st_ref[0]
+            st_ref[0] = a_start + c * CHUNK
+            st_ref[1] = 1
+
+        @pl.when(c < nchunks - 1)
+        def _():
+            @pl.when(c >= 2)
+            def _():
+                dma_out(slot, a_start + (c - 2) * CHUNK).wait()
+
+            obuf[slot] = grows
+            dma_out(slot, a_start + c * CHUNK).start()
+
         return (t_new, r_new)
 
     init = (jnp.ones((P, 1), _f32), r0)
     jax.lax.fori_loop(0, nchunks, body, init)
 
-    @pl.when(nchunks >= 2)
-    def _():
-        dma_out(jax.lax.rem(nchunks - 2, 2), nchunks - 2).wait()
+    # drain this tile's outstanding non-carry output DMAs (flushed chunks
+    # are c in [0, nchunks-1))
+    nflushed = jnp.maximum(nchunks - 1, 0)
 
-    @pl.when(nchunks >= 1)
+    @pl.when(nflushed >= 2)
     def _():
-        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        dma_out(jax.lax.rem(nflushed - 2, 2),
+                a_start + (nflushed - 2) * CHUNK).wait()
+
+    @pl.when(nflushed >= 1)
+    def _():
+        dma_out(jax.lax.rem(nflushed - 1, 2),
+                a_start + (nflushed - 1) * CHUNK).wait()
+
+    # last program: flush the held carry and drain any pending flush
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        @pl.when(st_ref[2] == 1)
+        def _():
+            dma_carry_flush().wait()
+            st_ref[2] = 0
+
+        @pl.when(st_ref[1] == 1)
+        def _():
+            dma_carry_flush().start()
+            dma_carry_flush().wait()
 
 
 def _interpret_default() -> bool:
@@ -371,11 +483,12 @@ def _compiler_params():
         return pltpu.CompilerParams()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _composite_fwd_impl(pack, starts, ends, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("grid_x", "interpret"))
+def _composite_fwd_impl(pack, starts, ends, toff, *, grid_x: int,
+                        interpret: bool):
     n_tiles = starts.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -390,18 +503,19 @@ def _composite_fwd_impl(pack, starts, ends, *, interpret: bool):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, grid_x),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, 8), _f32),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(starts, ends, pack, jnp.asarray(_pixquad()))
+    )(starts, ends, toff, pack, jnp.asarray(_pixquad()))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "m_expanded"))
-def _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile, *,
-                        m_expanded: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("grid_x", "interpret"))
+def _composite_bwd_impl(pack, starts, ends, toff, tiles, gtile, *,
+                        grid_x: int, interpret: bool):
     n_tiles = starts.shape[0]
+    m_pad = pack.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -415,92 +529,80 @@ def _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, 16, CHUNK), _f32),
-            pltpu.VMEM((2, 16, CHUNK), _f32),
+            pltpu.VMEM((2, 16, CHUNK), _f32),     # input double buffer
+            pltpu.VMEM((2, 16, CHUNK), _f32),     # output double buffer
+            pltpu.VMEM((16, CHUNK), _f32),        # carried boundary window
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,              # carry-flush semaphore
+            pltpu.SMEM((3,), jnp.int32),          # carry base/valid/pending
         ],
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, grid_x),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((16, m_expanded), _f32),
+        out_shape=jax.ShapeDtypeStruct((16, m_pad), _f32),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(starts, ends, ebase, pack, jnp.asarray(_pixquad()), tiles, gtile)
+    )(starts, ends, toff, pack, jnp.asarray(_pixquad()), tiles, gtile)
 
 
-@jax.custom_vjp
-def composite(xy_local, conic, opacity, color, depth, starts, ends):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def composite(pack, starts, ends, toff, grid_x):
     """Composite sorted instances into per-tile images.
 
-    Args (M = instance capacity; per-instance arrays already gathered in
-    tile-sorted order, see ops.binning):
-      xy_local: [M, 2] Gaussian center in the instance's-tile-local pixel
-        coordinates (xy_pixel - 16*tile_xy).
-      conic: [M, 3]; opacity: [M]; color: [M, 3]; depth: [M].
-      starts, ends: [n_tiles] int32 instance ranges per tile.
+    Args (M = instance capacity; pack already gathered in tile-sorted
+    order, see ops.binning):
+      pack: [16, M (+pad)] raw per-instance rows (see ROW_* / pack_rows):
+        conic a/b/c, GLOBAL pixel-space mean, opacity, rgb, depth.
+      starts, ends: [n_tiles] int32 instance ranges per (local) tile.
+      toff: [1] int32 global tile id of local tile 0 (tile-row sharding);
+        the kernel derives each tile's pixel origin from it.
+      grid_x: static tile-grid width.
 
     Returns:
       tiles [n_tiles, 256, 8] float32; channels
       [r, g, b, depth, alpha_sum, final_T, n_contrib, pad]. Background is
       NOT applied (callers add final_T * bg, which keeps the reference's
       background gradient term, backward.cu:521-524, flowing through the
-      final_T channel's cotangent). Only r/g/b/final_T are differentiable.
+      final_T channel's cotangent). Only r/g/b/final_T are differentiable,
+      and of the pack rows only xg/yg, conic, opacity, and rgb receive
+      gradients (depth does not, like the reference).
     """
-    out, _ = _composite_fwd(xy_local, conic, opacity, color, depth,
-                            starts, ends)
+    out, _ = _composite_fwd(pack, starts, ends, toff, grid_x)
     return out
 
 
-def _pack_padded(xy_local, conic, opacity, color, depth):
-    pack = pack_instances(xy_local, conic, opacity, color, depth)
-    return jnp.pad(pack, ((0, 0), (0, CHUNK)))
-
-
-def _composite_fwd(xy_local, conic, opacity, color, depth, starts, ends):
-    pack = _pack_padded(xy_local, conic, opacity, color, depth)
-    tiles = _composite_fwd_impl(pack, starts, ends,
+def _composite_fwd(pack, starts, ends, toff, grid_x):
+    tiles = _composite_fwd_impl(pack, starts, ends, toff, grid_x=grid_x,
                                 interpret=_interpret_default())
-    return tiles, (pack, starts, ends, tiles)
+    return tiles, (pack, starts, ends, toff, tiles)
 
 
-def _composite_bwd(res, gtile):
-    pack, starts, ends, tiles = res
-    m = pack.shape[1] - CHUNK
-    n_tiles = starts.shape[0]
-    # per-tile CHUNK-aligned regions in the expanded gradient layout
-    a_starts = (starts // CHUNK) * CHUNK
-    nch = jnp.where(ends > starts,
-                    (ends - a_starts + CHUNK - 1) // CHUNK, 0)
-    sizes = nch * CHUNK
-    ebase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(sizes)[:-1].astype(jnp.int32)])
-    m_expanded = pack.shape[1] + 2 * CHUNK * n_tiles   # static upper bound
-    grads_e = _composite_bwd_impl(pack, starts, ends, ebase, tiles, gtile,
-                                  m_expanded=m_expanded,
-                                  interpret=_interpret_default())
-    # map each compact instance back to its expanded column:
-    # tile_of_i = #{t : ends[t] <= i} via scatter+cumsum (searchsorted is
-    # ~10x slower on TPU at this size)
-    i = jnp.arange(m, dtype=jnp.int32)
-    bumps = jnp.zeros((m,), jnp.int32).at[ends].add(1, mode="drop")
-    tile_of = jnp.cumsum(bumps)
-    tile_c = jnp.minimum(tile_of, n_tiles - 1)
-    eidx = ebase[tile_c] + (i - a_starts[tile_c])
-    covered = i < jnp.max(ends)
-    eidx = jnp.where(covered, eidx, 0)
-    # transpose once, then row-gather (an axis-1 gather of 2M columns is
-    # far slower on TPU than a bandwidth-bound transpose + row gather)
-    grads_t = grads_e.T                               # [M_exp, 16]
-    inst_g = jnp.where(covered[:, None], grads_t[eidx], 0.0)
-    d_xy = inst_g[:, 0:2]
-    d_conic = inst_g[:, 2:5]
-    d_op = inst_g[:, 5]
-    d_color = inst_g[:, 6:9]
-    d_depth = jnp.zeros_like(d_op)
+def _composite_bwd(grid_x, res, gtile):
+    pack, starts, ends, toff, tiles = res
+    grads = _composite_bwd_impl(pack, starts, ends, toff, tiles, gtile,
+                                grid_x=grid_x,
+                                interpret=_interpret_default())
+    # compact layout: column i is instance i's gradient; columns at/after
+    # the true instance count were never written (mask off the garbage).
+    # Gradient rows are [d_xg, d_yg, d_a, d_b, d_c, d_op, d_r, d_g, d_b2]
+    # (see _bwd_kernel grows); scatter them back into the pack-row layout.
+    m = pack.shape[1]
+    covered = jnp.arange(m, dtype=jnp.int32) < jnp.max(ends)
+    g = jnp.where(covered[None, :], grads, 0.0)
+    zero = jnp.zeros_like(g[0:1])
+    d_pack = jnp.concatenate([
+        g[2:3], g[3:4], g[4:5],      # conic a, b, c
+        g[0:1], g[1:2],              # xg, yg
+        g[5:6],                      # opacity
+        g[6:9],                      # rgb
+        zero,                        # depth (non-differentiable)
+        jnp.zeros((6, m), _f32),
+    ], axis=0)
     zi = np.zeros(starts.shape, jax.dtypes.float0)
-    return (d_xy, d_conic, d_op, d_color, d_depth, zi, zi)
+    zt = np.zeros(toff.shape, jax.dtypes.float0)
+    return (d_pack, zi, zi, zt)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)

@@ -78,23 +78,19 @@ def _render_band(params, alive, camera, band_ty0, *, width, height,
         prep, grid_x, grid_y, max_instances,
         tile_offset=band_ty0 * grid_x, n_tiles=n_tiles)
 
-    gidx = binn.gauss_idx
+    z = jnp.zeros_like(prep.depth)
+    table = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.xy[:, 0], prep.xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth, z, z, z, z, z, z], axis=-1)           # [N, 16]
+    table = jnp.concatenate(
+        [table, jnp.zeros_like(table[:1])], axis=0)       # dump row
+    pack = table[binn.gauss_idx].T                        # [16, M]
 
-    pergauss = jnp.concatenate([
-        prep.xy, prep.conic, prep.opacity[:, None], prep.rgb,
-        prep.depth[:, None]], axis=1)
-    pergauss = jnp.concatenate(
-        [pergauss, jnp.zeros_like(pergauss[:1])], axis=0)
-    inst = pergauss[gidx]
-
-    tid = jnp.minimum(binn.tile_id, n_tiles - 1)
-    tx = tid % grid_x
-    ty = tid // grid_x + band_ty0
-    origin = jnp.stack([tx * TILE, ty * TILE], axis=-1).astype(jnp.float32)
-    xy_local = inst[:, 0:2] - origin
+    toff = (band_ty0 * grid_x).astype(jnp.int32)[None]
     tiles = tile_render.composite(
-        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9],
-        binn.tile_start, binn.tile_end)
+        pack, binn.tile_start, binn.tile_end, toff, grid_x)
 
     img = render_ops.assemble_image(tiles, grid_x, n_rows,
                                     n_rows * TILE, grid_x * TILE)
@@ -129,13 +125,23 @@ def _band_loss_sums(color, gt_band, band_ty0, rows_per_band, *,
 
 def _ssim_map(img1, img2, window_size: int = 11):
     c = img1.shape[0]
-    w2 = jnp.asarray(loss_ops._gaussian_window(window_size))
-    kernel = jnp.broadcast_to(w2, (c, 1, window_size, window_size))
+    g = jnp.asarray(loss_ops._gaussian_window(window_size))
+    # the 11x11 window is the outer product g·gᵀ — apply it separably
+    # (1x11 then 11x1), exactly like loss_ops.ssim
+    kw = jnp.broadcast_to(g.reshape(1, 1, 1, window_size),
+                          (c, 1, 1, window_size))
+    kh = jnp.broadcast_to(g.reshape(1, 1, window_size, 1),
+                          (c, 1, window_size, 1))
     pad = window_size // 2
 
     def conv(x):
+        out = jax.lax.conv_general_dilated(
+            x[None], kw, (1, 1), [(0, 0), (pad, pad)],
+            feature_group_count=c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)
         return jax.lax.conv_general_dilated(
-            x[None], kernel, (1, 1), [(pad, pad), (pad, pad)],
+            out, kh, (1, 1), [(pad, pad), (0, 0)],
             feature_group_count=c,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             precision=jax.lax.Precision.HIGHEST)[0]

@@ -7,7 +7,8 @@ Pallas kernels automatically run in interpreter mode off-TPU
 
 import os
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("RAIN_TPU_TEST_PLATFORM", "cpu")
+_PLATFORM = os.environ.get("RAIN_TPU_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +16,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (when present) force-sets jax_platforms="axon,cpu"
+# from sitecustomize at interpreter start, overriding JAX_PLATFORMS — the
+# tests would then silently run against the one real TPU chip (slow
+# remote compiles for every tiny shape). Re-assert the platform through
+# the config, which wins as long as no backend has initialized yet.
+if _PLATFORM and jax.config.jax_platforms != _PLATFORM:
+    jax.config.update("jax_platforms", _PLATFORM)
 
 import jax.numpy as jnp  # noqa: E402
 

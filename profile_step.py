@@ -18,7 +18,7 @@ from rain_tpu.ops.sh import rgb_to_sh_dc
 
 width, height = 1297, 840
 n = 262_144
-max_instances = 2_097_152
+max_instances = 1_048_576
 rng = np.random.default_rng(0)
 pts = np.concatenate([rng.uniform(-3, 3, (n, 2)),
                       rng.uniform(2.0, 12.0, (n, 1))], axis=1).astype(np.float32)
@@ -46,7 +46,7 @@ def timeit(name, fn, *args, reps=5, **kw):
         out = fn(*args, **kw)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:30s} {dt*1000:8.2f} ms")
+    print(f"{name:30s} {dt*1000:8.2f} ms", flush=True)
     return out
 
 # full step
@@ -87,27 +87,32 @@ def gather_fn():
     return pergauss[binn.gauss_idx]
 inst = timeit("instance gather", gather_fn)
 
-tid = jnp.minimum(binn.tile_id, grid_x * grid_y - 1)
-tx = tid % grid_x
-ty = tid // grid_x
-origin = jnp.stack([tx * 16, ty * 16], axis=-1).astype(jnp.float32)
-xy_local = inst[:, 0:2] - origin
+@jax.jit
+def pack_fn():
+    z = jnp.zeros_like(prep.depth)
+    table = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.xy[:, 0], prep.xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth, z, z, z, z, z, z], axis=-1)
+    table = jnp.concatenate([table, jnp.zeros_like(table[:1])], axis=0)
+    return table[binn.gauss_idx].T
+pack = timeit("pack gather+T", pack_fn)
+toff = jnp.asarray([0], jnp.int32)
 
 @jax.jit
 def comp_fwd():
-    return tile_render.composite(xy_local, inst[:, 2:5], inst[:, 5],
-                                 inst[:, 6:9], inst[:, 9],
-                                 binn.tile_start, binn.tile_end)
+    return tile_render.composite(pack, binn.tile_start, binn.tile_end,
+                                 toff, grid_x)
 tiles = timeit("composite fwd (pallas)", comp_fwd)
 
 @jax.jit
 def comp_fwdbwd():
-    def f(xy, con, op, col, dep):
-        t = tile_render.composite(xy, con, op, col, dep,
-                                  binn.tile_start, binn.tile_end)
+    def f(p):
+        t = tile_render.composite(p, binn.tile_start, binn.tile_end,
+                                  toff, grid_x)
         return jnp.sum(t[..., 0:3]) + jnp.sum(t[..., 5])
-    return jax.grad(f, argnums=(0, 1, 2, 3))(
-        xy_local, inst[:, 2:5], inst[:, 5], inst[:, 6:9], inst[:, 9])
+    return jax.grad(f)(pack)
 timeit("composite fwd+bwd (pallas)", comp_fwdbwd)
 
 # full forward render only

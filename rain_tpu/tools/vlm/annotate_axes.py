@@ -1,9 +1,13 @@
-"""Overlay axis/angle annotations onto images (cf. reference vlm/annotate_axes.py).
+"""Axis/angle image annotator (capability parity: reference vlm/annotate_axes.py).
 
-Pure-PIL, no API calls: centered x/y axes with signed-direction labels,
-angle labels every 90 degrees starting at 45, and two red diagonals.
-The overlay is described declaratively (line segments + text anchors)
-and rasterized in one pass.
+Stamps a coordinate-frame overlay onto every image in a folder so a VLM
+can reason about orientation: centered horizontal/vertical axes with
+signed-direction labels, the two corner-to-corner diagonals in red, and
+degree labels on a ring at the four diagonal angles (45/135/225/315,
+math convention — screen y grows downward so the y term is subtracted).
+
+Implementation is table-driven: the overlay for a WxH canvas is a small
+geometry table built by ``build_overlay`` and rendered by ``stamp``.
 """
 
 from __future__ import annotations
@@ -12,72 +16,93 @@ import argparse
 import math
 from pathlib import Path
 
-EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".gif")
+IMAGE_SUFFIXES = frozenset({".png", ".jpg", ".jpeg", ".bmp", ".gif"})
+STROKE_WIDTH = 2
+RING_DIVISOR = 4          # ring radius = min(W, H) / 4
+RING_ANGLES = (45, 135, 225, 315)
 
 
-def _overlay_spec(w: int, h: int):
-    """Declarative overlay: (lines, labels) in pixel coordinates.
+def build_overlay(size):
+    """Geometry table for a ``size = (W, H)`` canvas.
 
-    Lines are (start, end, color); labels are (anchor, string). Angle
-    anchors sit on a circle of radius min(w,h)/4 around the center, with
-    screen-y flipped (math convention: angles increase counter-clockwise).
+    Returns a dict with two entries:
+      ``strokes``: list of (color, (x0, y0, x1, y1)) segments,
+      ``texts``:   list of ((x, y), string) anchors.
     """
-    cx, cy = w // 2, h // 2
-    lines = [
-        ((0, cy), (w, cy), "black"),          # x-axis
-        ((cx, 0), (cx, h), "black"),          # y-axis
-        ((0, 0), (w, h), "red"),              # main diagonal
-        ((w, 0), (0, h), "red"),              # anti-diagonal
+    w, h = size
+    half_w, half_h = w // 2, h // 2
+
+    strokes = [
+        ("black", (0, half_h, w, half_h)),
+        ("black", (half_w, 0, half_w, h)),
+        ("red", (0, 0, w, h)),
+        ("red", (w, 0, 0, h)),
     ]
-    labels = [
-        ((w - 30, cy + 10), "x"),
-        ((cx + 10, 20), "y"),
-        ((w - 30, cy - 30), "+x"),
+
+    texts = [
+        ((w - 30, half_h + 10), "x"),
+        ((half_w + 10, 20), "y"),
+        ((w - 30, half_h - 30), "+x"),
         ((20, 20), "-y"),
         ((20, h - 40), "-x"),
-        ((cx + 10, h - 40), "+y"),
+        ((half_w + 10, h - 40), "+y"),
     ]
-    r = min(w, h) // 4
-    for deg in range(45, 360, 90):
-        theta = math.radians(deg)
-        anchor = (cx + round(r * math.cos(theta)),
-                  cy - round(r * math.sin(theta)))
-        labels.append((anchor, f"{deg}\N{DEGREE SIGN}"))
-    return lines, labels
+    ring = min(w, h) // RING_DIVISOR
+    for deg in RING_ANGLES:
+        rad = math.radians(deg)
+        at = (half_w + int(ring * math.cos(rad)),
+              half_h - int(ring * math.sin(rad)))
+        texts.append((at, f"{deg}\N{DEGREE SIGN}"))
+
+    return {"strokes": strokes, "texts": texts}
 
 
-def annotate(image_path, output_path) -> None:
+def stamp(src_file, dst_file) -> None:
+    """Render ``src_file`` onto a white canvas with the overlay on top."""
     from PIL import Image, ImageDraw, ImageFont
 
-    src = Image.open(image_path)
-    canvas = Image.new("RGB", src.size, "white")
-    canvas.paste(src, (0, 0))
+    with Image.open(src_file) as src:
+        base = Image.new("RGB", src.size, "white")
+        base.paste(src, (0, 0))
+        overlay = build_overlay(src.size)
 
-    lines, labels = _overlay_spec(*src.size)
-    pen = ImageDraw.Draw(canvas)
-    for start, end, color in lines:
-        pen.line([start, end], fill=color, width=2)
+    draw = ImageDraw.Draw(base)
     try:
-        font = ImageFont.load_default()
+        face = ImageFont.load_default()
     except Exception:
-        font = None
-    for anchor, s in labels:
-        pen.text(anchor, s, fill="black", font=font)
-    canvas.save(output_path)
+        face = None
+
+    # axes first so the text/diagonals sit on top of them
+    for color, (x0, y0, x1, y1) in overlay["strokes"]:
+        draw.line((x0, y0, x1, y1), fill=color, width=STROKE_WIDTH)
+    for at, label in overlay["texts"]:
+        kwargs = {"font": face} if face else {}
+        draw.text(at, label, fill="black", **kwargs)
+
+    base.save(dst_file)
+
+
+def run(input_folder: str, output_folder: str) -> int:
+    src_root = Path(input_folder)
+    dst_root = Path(output_folder)
+    dst_root.mkdir(parents=True, exist_ok=True)
+
+    count = 0
+    for item in sorted(src_root.iterdir()):
+        if item.suffix.lower() not in IMAGE_SUFFIXES:
+            continue
+        stamp(item, dst_root / item.name)
+        count += 1
+        print(f"Processed: {item.name}")
+    return count
 
 
 def main(argv=None) -> None:
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input_folder", required=True)
-    p.add_argument("--output_folder", required=True)
-    args = p.parse_args(argv)
-
-    src_dir, out_dir = Path(args.input_folder), Path(args.output_folder)
-    out_dir.mkdir(parents=True, exist_ok=True)
-    for entry in sorted(src_dir.iterdir()):
-        if entry.suffix.lower() in EXTS:
-            annotate(entry, out_dir / entry.name)
-            print(f"Processed: {entry.name}")
+    cli = argparse.ArgumentParser(description=__doc__)
+    cli.add_argument("--input_folder", required=True)
+    cli.add_argument("--output_folder", required=True)
+    ns = cli.parse_args(argv)
+    run(ns.input_folder, ns.output_folder)
     print("All images processed successfully.")
 
 

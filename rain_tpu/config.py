@@ -115,10 +115,12 @@ class RainParams:
 class SystemParams:
     """TPU-framework-specific knobs (no reference counterpart)."""
     capacity: int = 0              # 0 = auto (grown on demand)
-    max_instances: int = 0         # 0 = auto
-    devices: int = 0               # 0 = all local devices (sharded render)
+    max_instances: int = 0         # 0 = auto (per-shard when devices > 1)
+    devices: int = 1               # 1 = single chip; N > 1 = tile-row-
+    #   sharded training over an N-device mesh; 0 = all local devices
     log_every: int = 10
     seed: int = 0
+    camera_cache: int = 0          # max GT images pinned in HBM (0 = all)
 
     SHORTHANDS = frozenset()
 

@@ -57,7 +57,19 @@ def lpips_fn_or_none():
     if weights is None:
         return None
     convs, lins = weights
+    return make_lpips(convs, lins)
 
+
+def make_lpips(convs, lins):
+    """Build lpips(img1, img2) from explicit weights.
+
+    convs: 13 (weight [O,I,3,3], bias [O]) pairs for torchvision
+      vgg16.features conv layers; lins: 5 [1,C,1,1] linear-head weights
+      (or None → channel mean). Inputs are [3,H,W]; the reference feeds
+      its [0,1] tensors straight into the z-score normalization
+      (lpipsPyTorch/modules/networks.py BaseNet.forward — no [-1,1]
+      rescale), so we do the same.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -67,9 +79,10 @@ def lpips_fn_or_none():
     @jax.jit
     def lpips(img1, img2):
         def features(img):
-            # [3,H,W] in [0,1] → scaled to [-1,1] then normalized
-            x = (img * 2.0 - 1.0 - SHIFT[:, None, None]) / \
-                SCALE[:, None, None]
+            # z_score (networks.py:49-50): applied to the caller's [0,1]
+            # image directly, matching the reference call sites
+            # (train.py:198, metrics.py:70)
+            x = (img - SHIFT[:, None, None]) / SCALE[:, None, None]
             x = x[None]
             feats = []
             ci = 0

@@ -48,17 +48,16 @@ def render_tiles(prep: proj_ops.Preprocessed,
                  xy_tap: jnp.ndarray | None,
                  *,
                  grid_x: int, grid_y: int,
-                 ty0: int, ty1: int,
+                 ty0, n_rows: int,
                  max_instances: int):
-    """Composite a horizontal band of tile rows [ty0, ty1).
+    """Composite a horizontal band of tile rows [ty0, ty0 + n_rows).
 
-    Returns tiles [n_band_tiles, 256, 8] plus (num_instances, overflow).
-    The single-chip path uses the full band; the sharded path
-    (parallel.sharding) builds its own band pipeline with a traced
-    band offset.
+    Returns tiles [n_rows*grid_x, 256, 8] plus (num_instances, overflow).
+    ``ty0`` may be a traced band offset (the sharded path,
+    parallel.sharding); ``n_rows`` is static.
     """
     n = prep.depth.shape[0]
-    n_tiles = (ty1 - ty0) * grid_x
+    n_tiles = n_rows * grid_x
     binn = binning_ops.bin_gaussians(
         prep, grid_x, grid_y, max_instances,
         tile_offset=ty0 * grid_x, n_tiles=n_tiles)
@@ -128,7 +127,7 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
         colors_override=colors_override, cov3d_override=cov3d_override)
 
     tiles, num_instances, overflow = render_tiles(
-        prep, xy_tap, grid_x=grid_x, grid_y=grid_y, ty0=0, ty1=grid_y,
+        prep, xy_tap, grid_x=grid_x, grid_y=grid_y, ty0=0, n_rows=grid_y,
         max_instances=max_instances)
 
     img = assemble_image(tiles, grid_x, grid_y, height, width)

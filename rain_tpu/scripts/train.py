@@ -18,6 +18,9 @@ from rain_tpu.cache import enable_compile_cache
 
 def main(argv=None):
     enable_compile_cache()
+    # multi-host bring-up (env-var gated; no-op for single-host runs)
+    from rain_tpu.parallel.distributed import initialize_from_env
+    initialize_from_env()
     parser = cfg_mod.build_parser("rain-tpu training")
     parser.add_argument("--test_iterations", nargs="+", type=int,
                         default=[7000, 30000])

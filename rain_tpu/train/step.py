@@ -87,10 +87,14 @@ def train_step(state: gmod.GaussianState, opt: adam_mod.AdamState,
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "max_instances"))
 def eval_render(state: gmod.GaussianState, camera: dict, bg: jnp.ndarray,
-                low_pass, *, width: int, height: int, sh_degree: int,
-                max_instances: int):
+                low_pass, scale_modifier=1.0, *, width: int, height: int,
+                sh_degree: int, max_instances: int):
+    """Non-training render; scale_modifier is the viewer's Gaussian-size
+    slider (reference gaussian_renderer/__init__.py:29, applied to the
+    activated scales before covariance construction)."""
     scales, quats, opac, shs = gmod.activate(state.params)
     return render_ops.render(
         state.params.xyz, scales, quats, opac, shs, gmod.alive_mask(state),
         camera=camera, width=width, height=height, sh_degree=sh_degree,
-        bg=bg, low_pass=low_pass, max_instances=max_instances)
+        bg=bg, low_pass=low_pass, max_instances=max_instances,
+        scale_modifier=scale_modifier)

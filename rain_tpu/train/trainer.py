@@ -5,11 +5,17 @@ schedule evaluation (LR / SH degree / c2f low-pass), densify cadence,
 opacity resets, eval reports, and checkpointing — orchestrating the jitted
 train_step. TPU-specific responsibilities the reference doesn't have:
 proactive capacity growth (a re-jit boundary) before densification can
-overflow, and instance-buffer tier growth on overflow signals.
+overflow, instance-buffer tier growth with step retry on overflow (the
+reference resizes its binning buffers exactly and never trains on
+truncated data, rasterize_points.cu:16-22 — we match that contract by
+discarding any overflowed step and re-running it at the grown tier), and
+multi-chip tile-row-sharded training (``system.devices > 1``,
+parallel.sharding) with psum'd gradients + densification stats.
 """
 
 from __future__ import annotations
 
+import collections
 import json
 import random
 import time
@@ -64,8 +70,21 @@ class Trainer:
             scene.points, scene.colors, sh_degree=self.model.sh_degree,
             capacity=cap)
         self.opt_state = adam_mod.init(self.state.params)
-        self.max_instances = self.system.max_instances or max(
+        # devices: 1 = single chip; N > 1 = tile-row-sharded training over
+        # an N-device mesh (parallel.sharding); 0 = all local devices.
+        self.n_devices = self.system.devices or len(jax.devices())
+        self._sharded_steps = {}
+        # per-shard instance tier in sharded mode: each shard bins only
+        # its band, so it needs ~1/n of the global instances (plus slack
+        # for uneven bands); grown independently on overflow signals.
+        base_instances = self.system.max_instances or max(
             _round_up(n0 * 8, 65536), 262144)
+        if self.n_devices > 1:
+            self.max_instances = max(
+                _round_up(2 * base_instances // self.n_devices, 65536),
+                65536)
+        else:
+            self.max_instances = base_instances
 
         bg = [1.0, 1.0, 1.0] if self.model.white_background else [0, 0, 0]
         self.background = jnp.asarray(bg, jnp.float32)
@@ -76,14 +95,23 @@ class Trainer:
         self._viewpoint_stack = []
         self._rng = random.Random(0)
         self._key = jax.random.key(self.system.seed)
-        self._cam_arrays = {}
+        self._cam_arrays = collections.OrderedDict()
         self.densify_until = (self.opt_cfg.densify_until_iter +
                               self.rain.warmup_iter)  # train.py:38-39
         self.history = []
 
     # -- camera handling --------------------------------------------------
     def _camera_bundle(self, cam):
-        if cam.uid not in self._cam_arrays:
+        """Device arrays for a camera, LRU-bounded so GT images don't pin
+        unbounded HBM (system.camera_cache; 0 keeps everything resident,
+        like the reference's cameraList_from_camInfos moving all images
+        to the GPU, utils/camera_utils.py:43-49)."""
+        if cam.uid in self._cam_arrays:
+            self._cam_arrays.move_to_end(cam.uid)
+        else:
+            limit = self.system.camera_cache
+            if limit and len(self._cam_arrays) >= limit:
+                self._cam_arrays.popitem(last=False)
             self._cam_arrays[cam.uid] = (
                 {k: jnp.asarray(v) for k, v in cam.render_inputs().items()},
                 jnp.asarray(cam.image) if cam.image is not None else None)
@@ -119,7 +147,57 @@ class Trainer:
 
     def _grow_instances(self):
         self.max_instances = _round_up(self.max_instances * 2, 65536)
+        if self.max_instances > (1 << 27):
+            raise MemoryError(
+                f"instance tier {self.max_instances} exceeds the 2^27 "
+                f"sanity bound — scene/shard configuration is pathological")
         self.log(f"[cap] growing instance buffer -> {self.max_instances}")
+
+    # -- one optimization step (single-chip or sharded) --------------------
+    def _get_sharded_step(self, width, height, sh_deg, update_stats):
+        key = (width, height, sh_deg, self.max_instances,
+               self.n_devices, update_stats)
+        if key not in self._sharded_steps:
+            from rain_tpu.parallel import sharding
+            mesh = sharding.make_mesh(self.n_devices)
+            self._sharded_steps[key] = sharding.make_sharded_train_step(
+                mesh, width=width, height=height, sh_degree=sh_deg,
+                max_instances_per_shard=self.max_instances,
+                lambda_dssim=self.opt_cfg.lambda_dssim,
+                update_densify_stats=update_stats)
+        return self._sharded_steps[key]
+
+    def _run_step(self, cam, cam_arrays, gt, bg, xyz_lr, sh_deg,
+                  opt_leaves, update_stats):
+        """Run one train step; on instance-buffer overflow, DISCARD the
+        truncated update, grow the tier, and re-run the same step from
+        the pre-step state (the reference's exact-resize contract:
+        rasterize_points.cu:16-22 — it never trains on truncated data)."""
+        low_pass = jnp.asarray(self.low_pass, jnp.float32)
+        xyz_lr = jnp.asarray(xyz_lr, jnp.float32)
+        while True:
+            if self.n_devices > 1:
+                step = self._get_sharded_step(cam.width, cam.height,
+                                              sh_deg, update_stats)
+                state, opt, aux = step(
+                    self.state, self.opt_state, cam_arrays, gt, bg,
+                    low_pass, xyz_lr, opt_leaves)
+            else:
+                state, opt, aux = step_mod.train_step(
+                    self.state, self.opt_state, cam_arrays, gt, bg,
+                    low_pass, xyz_lr,
+                    width=cam.width, height=cam.height, sh_degree=sh_deg,
+                    max_instances=self.max_instances,
+                    opt_cfg_leaves=opt_leaves,
+                    lambda_dssim=self.opt_cfg.lambda_dssim,
+                    update_densify_stats=update_stats)
+            if not bool(aux.instance_overflow):
+                self.state, self.opt_state = state, opt
+                return aux
+            self.log(f"[cap] instance overflow at iter {self.iteration} "
+                     f"({int(aux.num_instances)} > {self.max_instances}) "
+                     f"— discarding step and retrying at a larger tier")
+            self._grow_instances()
 
     # -- the loop ----------------------------------------------------------
     def train(self, iterations=None, *, test_iterations=(7000, 30000),
@@ -142,9 +220,9 @@ class Trainer:
             "rotation_lr": opt_cfg.rotation_lr,
         }
         t_start = time.time()
-        overflow_seen = False
 
         for iteration in range(first_iter + 1, iterations + 1):
+            t_iter0 = time.time()
             self.iteration = iteration
             if self.viewer is not None:
                 self._poll_viewer(iteration >= iterations)
@@ -174,15 +252,12 @@ class Trainer:
                 bg = jax.random.uniform(sub, (3,))
 
             in_densify = iteration < self.densify_until
-            self.state, self.opt_state, aux = step_mod.train_step(
-                self.state, self.opt_state, cam_arrays, gt, bg,
-                jnp.asarray(self.low_pass, jnp.float32),
-                jnp.asarray(xyz_lr, jnp.float32),
-                width=cam.width, height=cam.height, sh_degree=sh_deg,
-                max_instances=self.max_instances,
-                opt_cfg_leaves=opt_leaves,
-                lambda_dssim=opt_cfg.lambda_dssim,
-                update_densify_stats=in_densify)
+            aux = self._run_step(cam, cam_arrays, gt, bg, xyz_lr, sh_deg,
+                                 opt_leaves, in_densify)
+            if self.tb is not None:   # train.py:183 (per-iteration timing)
+                self.tb.add_scalar("iter_time",
+                                   (time.time() - t_iter0) * 1000.0,
+                                   iteration)
 
             # densification cadence (train.py:132-143)
             if in_densify and iteration > opt_cfg.densify_from_iter and \
@@ -226,11 +301,6 @@ class Trainer:
                         f"non-finite loss at iteration {iteration}; "
                         f"state dumped to {dump}")
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
-                if bool(aux.instance_overflow) and not overflow_seen:
-                    overflow_seen = True
-                    self._grow_instances()
-                elif not bool(aux.instance_overflow):
-                    overflow_seen = False
                 if self.tb is not None:
                     self.tb.add_scalar("train_loss_patches/l1_loss",
                                        float(aux.l1), iteration)
@@ -272,6 +342,7 @@ class Trainer:
             out = step_mod.eval_render(
                 self.state, camera, self.background,
                 jnp.asarray(self.low_pass, jnp.float32),
+                jnp.asarray(scaling_modifier or 1.0, jnp.float32),
                 width=width, height=height,
                 sh_degree=self.model.sh_degree,
                 max_instances=self.max_instances)
@@ -284,16 +355,19 @@ class Trainer:
 
     # -- evaluation (training_report, train.py:179-224) --------------------
     def report(self, iteration):
+        from rain_tpu.eval.lpips import lpips_fn_or_none
+        lpips_fn = lpips_fn_or_none()
         configs = [("test", self.scene.test_cameras),
                    ("train", [self.scene.train_cameras[
                        i % len(self.scene.train_cameras)]
                        for i in range(5, 30, 5)])]
         results = {}
+        first_report = not self.history
         for name, cams in configs:
             if not cams:
                 continue
-            psnrs, l1s, ssims = [], [], []
-            for cam in cams:
+            psnrs, l1s, ssims, lpipss = [], [], [], []
+            for idx, cam in enumerate(cams):
                 cam_arrays, gt = self._camera_bundle(cam)
                 if gt is None:
                     continue
@@ -305,21 +379,42 @@ class Trainer:
                     max_instances=self.max_instances)
                 img = jnp.clip(out.render, 0.0, 1.0)
                 gtc = jnp.clip(gt, 0.0, 1.0)
+                if self.tb is not None and idx < 5:   # train.py:200-203
+                    self.tb.add_images(f"{name}_view_{cam.image_name}/render",
+                                       np.asarray(img)[None], iteration)
+                    if first_report:
+                        self.tb.add_images(
+                            f"{name}_view_{cam.image_name}/ground_truth",
+                            np.asarray(gtc)[None], iteration)
                 psnrs.append(float(loss_ops.psnr(img, gtc)[0]))
                 l1s.append(float(loss_ops.l1_loss(img, gtc)))
                 ssims.append(float(loss_ops.ssim(img, gtc)))
+                if lpips_fn is not None:
+                    lpipss.append(float(lpips_fn(img, gtc)))
             if psnrs:
                 results[name] = {"psnr": float(np.mean(psnrs)),
                                  "l1": float(np.mean(l1s)),
                                  "ssim": float(np.mean(ssims))}
+                if lpipss:
+                    results[name]["lpips"] = float(np.mean(lpipss))
                 self.log(f"[ITER {iteration}] Evaluating {name}: "
                          f"L1 {results[name]['l1']:.5f} "
                          f"PSNR {results[name]['psnr']:.2f} "
-                         f"SSIM {results[name]['ssim']:.4f}")
+                         f"SSIM {results[name]['ssim']:.4f}" +
+                         (f" LPIPS(vgg) {results[name]['lpips']:.4f}"
+                          if lpipss else ""))
                 if self.tb is not None:
                     for k, v in results[name].items():
                         self.tb.add_scalar(
                             f"{name}/loss_viewpoint - {k}", v, iteration)
+        if self.tb is not None:                       # train.py:218-221
+            alive = np.asarray(gmod.alive_mask(self.state))
+            opac = jax.nn.sigmoid(
+                np.asarray(self.state.params.opacity[:, 0]))
+            self.tb.add_histogram("scene/opacity_histogram",
+                                  np.asarray(opac)[alive], iteration)
+            self.tb.add_scalar("total_points", int(self.state.n_alive),
+                               iteration)
         self.history.append({"iteration": iteration, **results})
         (self.model_path / "log_file.txt").open("a").write(
             json.dumps({"iteration": iteration, **results}) + "\n")

@@ -124,10 +124,14 @@ class Trainer:
             self._rng.randint(0, len(self._viewpoint_stack) - 1))
 
     # -- capacity management ----------------------------------------------
-    def _maybe_grow(self):
+    def _maybe_grow(self, force: bool = False):
+        """Grow Gaussian capacity (a re-jit boundary) when the live count
+        nears it — or unconditionally when a densify round overflowed
+        (its appends were dropped; the next round must have room, like
+        the reference's dynamic tensor growth)."""
         n = int(self.state.n_alive)
         cap = self.state.capacity
-        if n > 0.6 * cap:
+        if force or n > 0.6 * cap:
             new_cap = _round_up(cap * 2, 4096)
             self.log(f"[cap] growing capacity {cap} -> {new_cap} "
                      f"(alive {n})")
@@ -279,7 +283,7 @@ class Trainer:
                         abe_split=abe)
                 if bool(info.overflow):
                     self.log("[cap] densify overflow — growing next round")
-                    self._maybe_grow()
+                    self._maybe_grow(force=True)
             if in_densify and (
                     iteration % opt_cfg.opacity_reset_interval == 0 or
                     (self.model.white_background and

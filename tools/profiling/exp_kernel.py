@@ -9,7 +9,8 @@ Variants of the fwd kernel, each timed at garden-proxy scale:
   noncontrib — without the n_contrib bookkeeping
 """
 import functools, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
 from rain_tpu.cache import enable_compile_cache
 enable_compile_cache()

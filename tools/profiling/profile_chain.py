@@ -1,7 +1,8 @@
 """Per-stage timing with chained iterations inside one jit (fori_loop),
 so the tunnel can't memoize and dispatch overhead amortizes."""
 import os, sys, time, traceback
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
 from rain_tpu.cache import enable_compile_cache
 enable_compile_cache()
@@ -159,9 +160,7 @@ timeit("gather+pack x%d" % K, pack_chain, prep.depth)
 
 pack = jax.jit(lambda: tile_render.pack_rows(
     prep.xy, prep.conic, prep.opacity, prep.rgb, prep.depth))()
-z16 = jnp.zeros((16, 1), jnp.float32)
-packM = jax.jit(lambda: jnp.concatenate([pack, jnp.zeros((16, 1), jnp.float32)], 1)[:, binn.gauss_idx if False else jnp.arange(max_instances) % (n+1)])()
-# proper per-instance pack:
+# per-instance pack through the kernel's canonical row layout
 packI = jax.jit(lambda: jnp.concatenate([pack, jnp.zeros((16,1),jnp.float32)],1)[:, binn.gauss_idx])()
 jax.block_until_ready(packI)
 toff = jnp.asarray([0], jnp.int32)

@@ -1,6 +1,7 @@
 """Bisect the combined loss-grad graph to find the 150ms phantom."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
 from rain_tpu.cache import enable_compile_cache
 enable_compile_cache()

@@ -1,7 +1,8 @@
 """Re-measure primitives with DIFFERENT inputs per rep (defeat any
 request-level result caching in the remote-execute path)."""
 import os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
 from rain_tpu.cache import enable_compile_cache
 enable_compile_cache()

@@ -1,6 +1,7 @@
 """Breakdown with per-call block_until_ready (tunnel-safe)."""
 import os, sys, time, traceback
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 import numpy as np
 from rain_tpu.cache import enable_compile_cache
 enable_compile_cache()

@@ -43,10 +43,13 @@ import jax.numpy as jnp
 from rain_tpu.ops import sort as sort_ops
 from rain_tpu.ops.projection import Preprocessed
 
-# Sort backend for the per-instance (tile, rank) sort: the explicit
-# bitonic network (ops.sort) measures ~10x faster than lax.sort at
-# M≈1e6 on TPU; "lax" is kept for A/B measurement.
-SORT_IMPL = os.environ.get("RAIN_TPU_SORT", "bitonic")
+# Sort backend for the per-instance (tile, rank) sort. The explicit
+# bitonic network (ops.sort) wins in isolated microbenchmarks but LOSES
+# integrated into the train step on a real v5e (7.34 -> 3.69 iters/s on
+# the garden proxy: 210 un-fused XLA stages at M=2^20 cost ~0.5 ms each
+# in the large graph), so lax.sort is the default; "bitonic" is kept
+# for A/B measurement.
+SORT_IMPL = os.environ.get("RAIN_TPU_SORT", "lax")
 
 
 class Binning(NamedTuple):

@@ -1,17 +1,18 @@
 """Explicit bitonic sorting networks as pure XLA ops.
 
 ``jax.lax.sort`` on TPU lowers through a generic variadic-comparator
-path whose measured cost at M≈1e6 int32 keys dominates the binning stage
-(~32 ms — see VERDICT r2). The same sorting network written as explicit
-reshape + min/max stages compiles to plain vectorized XLA ops the TPU
-streams at HBM bandwidth: every compare-exchange at distance j is a
-[M/(2j), 2, j] reshape, a min/max pair, and a direction select, with the
-ascending/descending pattern of stage (k, j) a broadcasted iota on the
-block index. ~log²(M)/2 stages total (210 at M=2^20).
+path. The same sorting network written as explicit reshape + min/max
+stages compiles to plain vectorized XLA ops: every compare-exchange at
+distance j is a [M/(2j), 2, j] reshape, a min/max pair, and a direction
+select, with the ascending/descending pattern of stage (k, j) a
+broadcasted iota on the block index. ~log²(M)/2 stages total (210 at
+M=2^20).
 
-Used by ops.binning for the per-(Gaussian, tile) instance sort; the key
-is the packed (tile << rank_bits) | rank int31 (unique → unstable network
-is enough), the pairs variant covers the wide-key fallback.
+Measured verdict (v5e, garden-proxy train step): the network wins in an
+isolated microbenchmark but LOSES integrated into the full step (7.34 →
+3.69 iters/s; the 210 stages don't fuse in the large graph and cost
+~0.5 ms each), so ops.binning defaults to lax.sort and keeps this
+available via RAIN_TPU_SORT=bitonic for A/B runs.
 """
 
 from __future__ import annotations

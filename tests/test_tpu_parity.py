@@ -7,8 +7,11 @@ its flush ordering only exist compiled). This test runs the same packed
 instance stream through both paths ON the chip and compares.
 
 Run on hardware with:
-  RAIN_TPU_TEST_PLATFORM=axon python -m pytest tests/test_tpu_parity.py
-(the conftest pins the test platform; the default 'cpu' skips here).
+  RAIN_TPU_TEST_PLATFORM= python -m pytest tests/test_tpu_parity.py
+(empty value → the conftest leaves platform selection to the axon TPU
+plugin, whose backend registers under the name "tpu"; the default 'cpu'
+pin skips here, and '=axon' fails — it is a jax_platforms alias, not a
+backend name).
 """
 
 import numpy as np

@@ -95,34 +95,29 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     total = offs[-1]
     exc = (offs - tiles_o).astype(jnp.int32)
 
-    # Per-instance values of per-Gaussian (depth-ordered) quantities.
-    # Any v[rank_i] is piecewise constant over instance runs, so instead
-    # of an [M]-sized data-dependent gather (~12 ms each at M=1e6 on
-    # TPU) we scatter the per-run DELTA at each run's start position and
-    # prefix-sum: deltas of zero-width runs (invisible Gaussians share a
-    # start offset) telescope correctly under scatter-add. One [4, M]
-    # scatter + one cumsum replaces the rank bump-scan and the three
-    # rect gathers of the round-2 design.
+    # instance→rank step function: r_i = #{g : offs[g] <= i}; scatter a
+    # bump at each Gaussian's end offset and prefix-sum (duplicate
+    # offsets from zero-tile Gaussians accumulate correctly). Then fetch
+    # per-Gaussian rect data per instance with three narrow [M] 1-D
+    # gathers. The optimization_barriers are load-bearing: left to
+    # itself, XLA fuses each gather into its consumer arithmetic and
+    # the fused serial gathers cost ~9 ms each at M=1e6 on v5e;
+    # isolated, they lower onto the async dynamic-slice path (~1 ms,
+    # overlapped with neighbors).
     w_d = jnp.maximum(prep.rect_wh[order, 0], 1).astype(jnp.int32)
     base_d = (prep.rect_min[order, 1] * grid_x +
               prep.rect_min[order, 0]).astype(jnp.int32)
-    rank_v = jnp.arange(n, dtype=jnp.int32)
-
-    vals = jnp.stack([rank_v, exc, w_d, base_d], axis=0)     # [4, N]
-    deltas = vals - jnp.concatenate(
-        [jnp.zeros((4, 1), jnp.int32), vals[:, :-1]], axis=1)
-    acc = jnp.zeros((4, M), jnp.int32).at[:, exc].add(
-        deltas, mode="drop")
-    expanded = jnp.cumsum(acc, axis=1)
     i = jnp.arange(M, dtype=jnp.int32)
-    rank = jnp.minimum(expanded[0], n - 1)
-    exc_e = expanded[1]
-    w_i = jnp.maximum(expanded[2], 1)
-    base_e = expanded[3]
-    local = i - exc_e
+    bumps = jnp.zeros((M,), jnp.int32).at[offs].add(1, mode="drop")
+    rank = jnp.minimum(jnp.cumsum(bumps), n - 1)
+    rank = jax.lax.optimization_barrier(rank)
+    exc_r = jax.lax.optimization_barrier(exc[rank])
+    w_i = jax.lax.optimization_barrier(w_d[rank])
+    base_r = jax.lax.optimization_barrier(base_d[rank])
+    local = i - exc_r
     dy = local // w_i
     dx = local - dy * w_i
-    tile = base_e + dy * grid_x + dx - tile_offset
+    tile = base_r + dy * grid_x + dx - tile_offset
     valid = i < jnp.minimum(total, M)
     tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
 
@@ -155,11 +150,41 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     # order padded with a dump index so order_pad[rank_sorted] is safe
     order_pad = jnp.concatenate(
         [order, jnp.full((1,), n, jnp.int32)])
-    gauss_sorted = order_pad[rank_sorted]
+    gauss_sorted = jax.lax.optimization_barrier(
+        order_pad[jax.lax.optimization_barrier(rank_sorted)])
 
-    tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tids, side="left")
-    tile_end = jnp.searchsorted(tile_sorted, tids, side="right")
+    # Per-tile [start, end) ranges (identifyTileRanges,
+    # rasterizer_impl.cu:105-127). Instead of binary-searching the
+    # sorted [M] array (a 20-round while loop, ~19 ms wall in the
+    # integrated graph), count covering Gaussians per tile directly on
+    # the MXU: counts2d[y, x] = Σ_g row_ind[y, g] · col_ind[g, x] with
+    # 0/1 rect-interval indicators — one [R, N] @ [N, X] matmul, exact
+    # in f32 (products are 0/1, accumulator f32, counts < 2^24) — then
+    # prefix-sum the flattened tile-major counts. Equal to the
+    # searchsorted ranges whenever the instance buffer did not
+    # overflow; on overflow (a discarded step — the Trainer re-runs at
+    # a grown tier) ranges are clamped to [0, M] so the kernels stay
+    # in-bounds.
+    n_rows = n_tiles // grid_x
+    y0 = tile_offset // grid_x
+    ys = y0 + jnp.arange(n_rows, dtype=jnp.int32)            # [R]
+    ry0 = prep.rect_min[:, 1]
+    ry1 = ry0 + prep.rect_wh[:, 1]
+    row_ind = ((ys[:, None] >= ry0[None, :]) &
+               (ys[:, None] < ry1[None, :]) &
+               visible[None, :]).astype(jnp.bfloat16)        # [R, N]
+    xs = jnp.arange(grid_x, dtype=jnp.int32)
+    rx0 = prep.rect_min[:, 0]
+    rx1 = rx0 + prep.rect_wh[:, 0]
+    col_ind = ((xs[None, :] >= rx0[:, None]) &
+               (xs[None, :] < rx1[:, None])).astype(jnp.bfloat16)  # [N, X]
+    counts2d = jax.lax.dot_general(
+        row_ind, col_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    counts = counts2d.reshape(-1).astype(jnp.int32)          # [n_tiles]
+    ends_all = jnp.cumsum(counts)
+    tile_end = jnp.minimum(ends_all, M)
+    tile_start = jnp.minimum(ends_all - counts, M)
 
     return Binning(
         order=order,

@@ -48,26 +48,29 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
         img1 = img1[None]
         img2 = img2[None]
     n, c = img1.shape[0], img1.shape[1]
-    g = jnp.asarray(_gaussian_window(window_size))
+    g = _gaussian_window(window_size)
     pad = window_size // 2
 
     stacked = jnp.concatenate(
         [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
-    ch = 5 * c
-    kw = jnp.broadcast_to(g.reshape(1, 1, 1, window_size),
-                          (ch, 1, 1, window_size))
-    kh = jnp.broadcast_to(g.reshape(1, 1, window_size, 1),
-                          (ch, 1, window_size, 1))
 
-    def dconv(x, kernel, padding):
-        return jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1), padding=padding,
-            feature_group_count=ch,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST)
+    # Depthwise/grouped convs lower very poorly on TPU (measured ~20 ms
+    # fwd+bwd at 1297x840x15ch on v5e — ~50x off bandwidth-bound); the
+    # same separable pass as 11 statically-shifted slices fuses into a
+    # single vectorized elementwise loop per axis.
+    def blur1d(x, axis):
+        padding = [(0, 0)] * x.ndim
+        padding[axis] = (pad, pad)
+        xp = jnp.pad(x, padding)
+        acc = None
+        for k in range(window_size):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(k, k + x.shape[axis])
+            term = float(g[k]) * xp[tuple(idx)]
+            acc = term if acc is None else acc + term
+        return acc
 
-    out = dconv(dconv(stacked, kw, [(0, 0), (pad, pad)]),
-                kh, [(pad, pad), (0, 0)])
+    out = blur1d(blur1d(stacked, 3), 2)
     mu1 = out[:, 0:c]
     mu2 = out[:, c:2 * c]
     mu1_sq = mu1 * mu1

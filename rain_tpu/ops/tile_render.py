@@ -54,6 +54,7 @@ HBM→VMEM; per-tile [start, end) ranges arrive via scalar prefetch.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,7 +64,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 P = TILE * TILE          # pixels per tile
-CHUNK = 256              # instances per inner step (lane axis)
+# Instances per inner step (lane axis). Tile instance ranges average only
+# ~140 at garden scale, so smaller chunks waste fewer lanes on range
+# padding at the cost of more loop iterations; 256 measured best on v5e
+# (env knob for A/B experiments).
+CHUNK = int(os.environ.get("RAIN_TPU_CHUNK", "256"))
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 ALPHA_CLAMP = 0.99
@@ -329,8 +334,6 @@ def _bwd_kernel(grid_x, starts_ref, ends_ref, toff_ref, pack_hbm,
         st_ref[2] = 1
 
     pixquad = pixquad_ref[:]
-    px = pixquad[:, 3:4]
-    py = pixquad[:, 4:5]
     tile_out = tiles_ref[0]                    # [P, 8] forward outputs
     g_all = gtile_ref[0]                       # [P, 8] cotangents
     # Only the color channels and the final-transmittance channel are
@@ -381,23 +384,42 @@ def _bwd_kernel(grid_x, starts_ref, ends_ref, toff_ref, pack_hbm,
             a = pack_c[ROW_A:ROW_A + 1, :]
             b = pack_c[ROW_B:ROW_B + 1, :]
             cc = pack_c[ROW_C:ROW_C + 1, :]
-            dx = xgl - px
-            dy = ygl - py
-            gd = (op * dalpha) * G             # dL/dG * G
+            gd2 = dalpha * G                   # dL/dG * G / opacity
 
-            def colsum(x):
-                return jnp.sum(x, axis=0, keepdims=True)
+            # All geometric gradient rows are per-pixel moment sums of
+            # gd2 against the same quadratic basis the forward uses:
+            # S = pixquadT @ gd2 -> rows [S·px², S·py², S·px·py, S·px,
+            # S·py, S, 0, 0]. One MXU matmul replaces the 6 masked
+            # [P, CHUNK] products + sublane colsum reductions of the
+            # naive form (dx/dy are affine in px/py, so every Σ gd·poly
+            # (dx, dy) expands in these moments).
+            S = jax.lax.dot_general(
+                pixquad, gd2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI)
+            s_xx, s_yy, s_xy = S[0:1], S[1:2], S[2:3]
+            s_x, s_y, s_1 = S[3:4], S[4:5], S[5:6]
+            # Σ gd2·dx = xgl·Σgd2 − Σgd2·px, etc. (dx = xgl − px)
+            e_x = xgl * s_1 - s_x
+            e_y = ygl * s_1 - s_y
+            e_xx = xgl * xgl * s_1 - 2.0 * xgl * s_x + s_xx
+            e_yy = ygl * ygl * s_1 - 2.0 * ygl * s_y + s_yy
+            e_xy = xgl * ygl * s_1 - xgl * s_y - ygl * s_x + s_xy
+
+            # color grads: Σ_p w·g_c = g_rgbT @ w — second small matmul
+            crgb = jax.lax.dot_general(
+                g8[:, 0:3], w,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI)
 
             grows = jnp.concatenate([
-                colsum(-gd * (a * dx + b * dy)),       # d xg
-                colsum(-gd * (cc * dy + b * dx)),      # d yg
-                colsum(-0.5 * gd * dx * dx),           # d conic a
-                colsum(-gd * dx * dy),                 # d conic b
-                colsum(-0.5 * gd * dy * dy),           # d conic c
-                colsum(G * dalpha),                    # d opacity
-                colsum(w * g_all[:, 0:1]),             # d color r
-                colsum(w * g_all[:, 1:2]),             # d color g
-                colsum(w * g_all[:, 2:3]),             # d color b
+                -op * (a * e_x + b * e_y),             # d xg
+                -op * (cc * e_y + b * e_x),            # d yg
+                -0.5 * op * e_xx,                      # d conic a
+                -op * e_xy,                            # d conic b
+                -0.5 * op * e_yy,                      # d conic c
+                s_1,                                   # d opacity
+                crgb,                                  # d color r, g, b
                 jnp.zeros((7, CHUNK), _f32),
             ], axis=0)
             t_new = jnp.min(jnp.where(m, t_after, t_vec), axis=1,

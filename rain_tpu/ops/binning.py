@@ -34,12 +34,15 @@ host can grow the buffer tier and retrace.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from rain_tpu.ops import expand as expand_ops
 from rain_tpu.ops import sort as sort_ops
 from rain_tpu.ops.projection import Preprocessed
 
@@ -153,38 +156,9 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     gauss_sorted = jax.lax.optimization_barrier(
         order_pad[jax.lax.optimization_barrier(rank_sorted)])
 
-    # Per-tile [start, end) ranges (identifyTileRanges,
-    # rasterizer_impl.cu:105-127). Instead of binary-searching the
-    # sorted [M] array (a 20-round while loop, ~19 ms wall in the
-    # integrated graph), count covering Gaussians per tile directly on
-    # the MXU: counts2d[y, x] = Σ_g row_ind[y, g] · col_ind[g, x] with
-    # 0/1 rect-interval indicators — one [R, N] @ [N, X] matmul, exact
-    # in f32 (products are 0/1, accumulator f32, counts < 2^24) — then
-    # prefix-sum the flattened tile-major counts. Equal to the
-    # searchsorted ranges whenever the instance buffer did not
-    # overflow; on overflow (a discarded step — the Trainer re-runs at
-    # a grown tier) ranges are clamped to [0, M] so the kernels stay
-    # in-bounds.
-    n_rows = n_tiles // grid_x
-    y0 = tile_offset // grid_x
-    ys = y0 + jnp.arange(n_rows, dtype=jnp.int32)            # [R]
-    ry0 = prep.rect_min[:, 1]
-    ry1 = ry0 + prep.rect_wh[:, 1]
-    row_ind = ((ys[:, None] >= ry0[None, :]) &
-               (ys[:, None] < ry1[None, :]) &
-               visible[None, :]).astype(jnp.bfloat16)        # [R, N]
-    xs = jnp.arange(grid_x, dtype=jnp.int32)
-    rx0 = prep.rect_min[:, 0]
-    rx1 = rx0 + prep.rect_wh[:, 0]
-    col_ind = ((xs[None, :] >= rx0[:, None]) &
-               (xs[None, :] < rx1[:, None])).astype(jnp.bfloat16)  # [N, X]
-    counts2d = jax.lax.dot_general(
-        row_ind, col_ind, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    counts = counts2d.reshape(-1).astype(jnp.int32)          # [n_tiles]
-    ends_all = jnp.cumsum(counts)
-    tile_end = jnp.minimum(ends_all, M)
-    tile_start = jnp.minimum(ends_all - counts, M)
+    tile_start, tile_end = tile_ranges(
+        prep.rect_min, prep.rect_wh, visible, grid_x, n_tiles,
+        tile_offset, M)
 
     return Binning(
         order=order,
@@ -196,3 +170,200 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
         num_instances=total,
         overflow=total > M,
     )
+
+
+def tile_ranges(rect_min, rect_wh, visible, grid_x: int, n_tiles: int,
+                tile_offset, max_instances: int):
+    """Per-tile [start, end) instance ranges (identifyTileRanges,
+    rasterizer_impl.cu:105-127).
+
+    Instead of binary-searching the sorted [M] array (a 20-round while
+    loop, ~19 ms wall in the integrated graph), count covering Gaussians
+    per tile directly on the MXU: counts2d[y, x] = Σ_g row_ind[y, g] ·
+    col_ind[g, x] with 0/1 rect-interval indicators — one [R, N] @ [N, X]
+    matmul, exact in f32 (products are 0/1, accumulator f32, counts <
+    2^24) — then prefix-sum the flattened tile-major counts. Equal to the
+    searchsorted ranges whenever the instance buffer did not overflow; on
+    overflow (a discarded step — the Trainer re-runs at a grown tier)
+    ranges are clamped to [0, M] so the kernels stay in-bounds.
+    """
+    M = max_instances
+    n_rows = n_tiles // grid_x
+    y0 = tile_offset // grid_x
+    ys = y0 + jnp.arange(n_rows, dtype=jnp.int32)            # [R]
+    ry0 = rect_min[:, 1]
+    ry1 = ry0 + rect_wh[:, 1]
+    row_ind = ((ys[:, None] >= ry0[None, :]) &
+               (ys[:, None] < ry1[None, :]) &
+               visible[None, :]).astype(jnp.bfloat16)        # [R, N]
+    xs = jnp.arange(grid_x, dtype=jnp.int32)
+    rx0 = rect_min[:, 0]
+    rx1 = rx0 + rect_wh[:, 0]
+    col_ind = ((xs[None, :] >= rx0[:, None]) &
+               (xs[None, :] < rx1[:, None])).astype(jnp.bfloat16)  # [N, X]
+    counts2d = jax.lax.dot_general(
+        row_ind, col_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    counts = counts2d.reshape(-1).astype(jnp.int32)          # [n_tiles]
+    ends_all = jnp.cumsum(counts)
+    tile_end = jnp.minimum(ends_all, M).astype(jnp.int32)
+    tile_start = jnp.minimum(ends_all - counts, M).astype(jnp.int32)
+    return tile_start, tile_end
+
+
+# ---------------------------------------------------------------------------
+# Fused expand + payload-carrying sort (the production path).
+#
+# bin_gaussians above materializes instance indices and then GATHERS the
+# per-instance render attributes ([M]-sized gathers cost ~9-17 ms each at
+# M=1e6 on v5e, and the [16, M] pack gather another ~14 ms). This path
+# instead expands the raw attributes directly on the MXU (ops.expand) and
+# carries them through ONE multi-operand lax.sort (~4 ms at M=1e6), so no
+# [M] gather ever runs. The resulting instance order is IDENTICAL to
+# bin_gaussians (same packed (tile, depth-rank) key), which itself equals
+# the CUDA 64-bit radix order (rasterizer_impl.cu:230-240).
+# ---------------------------------------------------------------------------
+
+# kernel-table row indices produced by _sorted_pack_fwd (rows 0..9 are
+# tile_render.ROW_*: conic a/b/c, xy, opacity, rgb, depth)
+_ROW_EXC_HI, _ROW_EXC_LO, _ROW_W, _ROW_BASE, _ROW_GAUSS, _ROW_RANK = \
+    range(10, 16)
+
+
+def _expand_chunk(max_instances: int) -> int:
+    """Largest power-of-two chunk <= EXP_C that divides max_instances
+    (0 if none >= 128 exists — caller falls back to the gather path)."""
+    c = expand_ops.EXP_C
+    while c >= 128:
+        if max_instances % c == 0:
+            return c
+        c //= 2
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def sorted_pack(table10, tiles_touched, rect_min, rect_wh, tile_offset,
+                grid_x: int, n_tiles: int, max_instances: int):
+    """Tile-sorted [16, M] instance pack for ops.tile_render.composite.
+
+    Args:
+      table10: [10, N] f32 differentiable per-Gaussian attribute rows in
+        the tile_render.ROW_* layout (conic a/b/c, GLOBAL pixel xy —
+        including any xy_tap — opacity, rgb, depth).
+      tiles_touched, rect_min, rect_wh: integer rect data (projection).
+      tile_offset: int32 scalar — global tile id of local tile 0.
+      grid_x, n_tiles, max_instances: static grid config.
+
+    Returns (pack [16, M], num_instances, overflow). Only table10
+    receives a gradient: the VJP is a deterministic per-Gaussian
+    scatter-add of the sorted instance cotangents (the atomicAdd
+    replacement, backward.cu:513-544).
+    """
+    out, _ = _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
+                              tile_offset, grid_x, n_tiles, max_instances)
+    return out
+
+
+def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
+                     tile_offset, grid_x, n_tiles, max_instances):
+    n = tiles_touched.shape[0]
+    M = max_instances
+    C = _expand_chunk(M)
+    assert C, f"max_instances={M} has no pow2 chunk divisor >= 128"
+
+    visible = tiles_touched > 0
+    depth_key = jnp.where(visible, table10[9], jnp.inf)
+    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+
+    # 16-row per-Gaussian table in ORIGINAL order; rows 10.. carry the
+    # integer rect streams as f32 so ONE column gather depth-orders
+    # everything (row 11 is a placeholder later replaced by the exc
+    # split, row 15 by the rank iota). Attributes of culled Gaussians
+    # are zeroed: the expansion matmul multiplies every window column
+    # by its 0/1 indicator, and 0 * inf would poison the products.
+    vis_f = visible.astype(jnp.float32)
+    table16 = jnp.concatenate([
+        table10 * vis_f[None, :],
+        tiles_touched.astype(jnp.float32)[None] * vis_f[None],
+        jnp.zeros((1, n), jnp.float32),
+        jnp.maximum(rect_wh[:, 0], 1).astype(jnp.float32)[None],
+        (rect_min[:, 1] * grid_x + rect_min[:, 0]
+         ).astype(jnp.float32)[None],
+        jnp.arange(n, dtype=jnp.float32)[None],     # original index
+        jnp.zeros((1, n), jnp.float32),
+    ], axis=0)
+    t, o = jax.lax.optimization_barrier((table16, order))
+    table_d = jax.lax.optimization_barrier(jnp.take(t, o, axis=1))
+
+    tiles_d = table_d[10].astype(jnp.int32)
+    offs = jnp.cumsum(tiles_d)                       # [N] inclusive
+    total = offs[-1]
+    exc = offs - tiles_d
+    # exc can exceed 2^24 (not f32-exact): split into exact 12-bit halves
+    ktable = jnp.concatenate([
+        table_d[:10],
+        (exc >> 12).astype(jnp.float32)[None],
+        (exc & 0xFFF).astype(jnp.float32)[None],
+        table_d[12:15],
+        jnp.arange(n, dtype=jnp.float32)[None],      # depth rank
+    ], axis=0)
+
+    npad = (n // C + 2) * C
+    ktable = jnp.pad(ktable, ((0, 0), (0, npad - n)))
+    exc_p = jnp.pad(exc, (0, npad - n))[None, :]
+    tiles_p = jnp.pad(tiles_d, (0, npad - n))[None, :]
+
+    # per-chunk window block: rank at the chunk's first instance
+    kidx = jnp.arange(M // C, dtype=jnp.int32) * C
+    wstart = jnp.searchsorted(offs, kidx, side="right").astype(jnp.int32)
+    wblk = jnp.clip(wstart // C, 0, npad // C - 2).astype(jnp.int32)
+
+    ex = expand_ops.expand_instances(ktable, exc_p, tiles_p, wblk, C=C)
+
+    i = jnp.arange(M, dtype=jnp.int32)
+    exc_i = (ex[_ROW_EXC_HI].astype(jnp.int32) << 12) | \
+        ex[_ROW_EXC_LO].astype(jnp.int32)
+    w_i = jnp.maximum(ex[_ROW_W].astype(jnp.int32), 1)
+    base_i = ex[_ROW_BASE].astype(jnp.int32)
+    local = i - exc_i
+    dy = local // w_i
+    dx = local - dy * w_i
+    tile = base_i + dy * grid_x + dx - tile_offset
+    valid = i < jnp.minimum(total, M)
+    tile = jnp.where(valid, tile, n_tiles).astype(jnp.int32)
+    rank = jnp.where(valid, ex[_ROW_RANK].astype(jnp.int32), 0)
+    gauss = jnp.where(valid, ex[_ROW_GAUSS].astype(jnp.int32), n)
+
+    rank_bits = max(int(n - 1).bit_length(), 1)
+    attrs = tuple(ex[r] for r in range(10))
+    if (n_tiles + 1) << rank_bits <= 2 ** 31:
+        # packed single-key unstable sort (keys unique — equals the
+        # stable (tile, rank) order), carrying the 10 attribute rows +
+        # the owner index as payloads
+        key = (tile << rank_bits) | rank
+        out = jax.lax.sort((key,) + attrs + (gauss,), dimension=0,
+                           is_stable=False, num_keys=1)
+    else:
+        out = jax.lax.sort((tile, rank) + attrs + (gauss,), dimension=0,
+                           is_stable=False, num_keys=2)
+    pack = jnp.concatenate([
+        jnp.stack(out[-11:-1]), jnp.zeros((6, M), jnp.float32)], axis=0)
+    gauss_sorted = out[-1]
+    res = (gauss_sorted, n)
+    return (pack, total, total > M), res
+
+
+def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
+    gauss_sorted, n = res
+    d_pack = cts[0]
+    # deterministic scatter-add reduction to per-Gaussian gradients
+    # (dump index n from padding instances is dropped); the barriers
+    # keep XLA from fusing the scatter into a serial loop
+    g, idx = jax.lax.optimization_barrier((d_pack[:10], gauss_sorted))
+    d10 = jnp.zeros((10, n), d_pack.dtype).at[:, idx].add(g, mode="drop")
+    d10 = jax.lax.optimization_barrier(d10)
+    zi = lambda a_shape: np.zeros(a_shape, jax.dtypes.float0)  # noqa: E731
+    return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
+
+
+sorted_pack.defvjp(_sorted_pack_fwd, _sorted_pack_bwd)

@@ -23,6 +23,7 @@ densification statistics. It is in *pixel* units; multiply by
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -76,6 +77,12 @@ class RenderOutput(NamedTuple):
     overflow: jnp.ndarray      # scalar bool
 
 
+# "fused" (default): MXU one-hot expansion + payload-carrying sort, no
+# [M] gathers (ops.expand / ops.binning.sorted_pack). "legacy": rank-
+# indexed gathers + [16, M] pack gather (kept for A/B + parity tests).
+EXPAND_IMPL = os.environ.get("RAIN_TPU_EXPAND", "fused")
+
+
 def render_tiles(prep: proj_ops.Preprocessed,
                  xy_tap: jnp.ndarray | None,
                  *,
@@ -90,11 +97,32 @@ def render_tiles(prep: proj_ops.Preprocessed,
     """
     n = prep.depth.shape[0]
     n_tiles = n_rows * grid_x
+    xy = prep.xy if xy_tap is None else prep.xy + xy_tap
+    toff = jnp.asarray([ty0 * grid_x], jnp.int32) if isinstance(ty0, int) \
+        else (ty0 * grid_x).astype(jnp.int32)[None]
+
+    fused = EXPAND_IMPL == "fused" and \
+        binning_ops._expand_chunk(max_instances) > 0
+    if fused:
+        table10 = jnp.stack([
+            prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+            xy[:, 0], xy[:, 1], prep.opacity,
+            prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+            prep.depth], axis=0)                          # [10, N]
+        pack, num_instances, overflow = binning_ops.sorted_pack(
+            table10, prep.tiles_touched, prep.rect_min, prep.rect_wh,
+            toff[0], grid_x, n_tiles, max_instances)
+        visible = prep.tiles_touched > 0
+        tile_start, tile_end = binning_ops.tile_ranges(
+            prep.rect_min, prep.rect_wh, visible, grid_x, n_tiles,
+            toff[0], max_instances)
+        tiles = tile_render.composite(pack, tile_start, tile_end, toff,
+                                      grid_x)
+        return tiles, num_instances, overflow
+
     binn = binning_ops.bin_gaussians(
         prep, grid_x, grid_y, max_instances,
         tile_offset=ty0 * grid_x, n_tiles=n_tiles)
-
-    xy = prep.xy if xy_tap is None else prep.xy + xy_tap
 
     # One gather of raw per-Gaussian rendering attributes into the
     # kernel's [16, M] layout, with a dump column at index N for padding
@@ -116,8 +144,6 @@ def render_tiles(prep: proj_ops.Preprocessed,
         [table, jnp.zeros_like(table[:, :1])], axis=1)    # dump column
     pack = _pack_take(table, binn.gauss_idx, n + 1)       # [16, M]
 
-    toff = jnp.asarray([ty0 * grid_x], jnp.int32) if isinstance(ty0, int) \
-        else (ty0 * grid_x).astype(jnp.int32)[None]
     tiles = tile_render.composite(
         pack, binn.tile_start, binn.tile_end, toff, grid_x)
     return tiles, binn.num_instances, binn.overflow

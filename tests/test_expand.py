@@ -1,0 +1,145 @@
+"""Fused MXU expansion + payload-carrying sort vs the legacy gather path.
+
+The fused production path (ops.expand + ops.binning.sorted_pack) must be
+bit-identical to the legacy bin_gaussians + pack-gather path — same
+(tile, depth-rank) instance order (== the CUDA 64-bit radix order,
+cuda_rasterizer/rasterizer_impl.cu:230-240), same selected attributes,
+same gradients (deterministic scatter-add == gather transpose).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rain_tpu.data.cameras import Camera
+from rain_tpu.ops import binning as binning_ops
+from rain_tpu.ops import projection as proj_ops
+from rain_tpu.ops import render as render_mod
+
+
+def _scene(n=700, width=160, height=112, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.concatenate([rng.uniform(-2, 2, (n, 2)),
+                          rng.uniform(1.5, 9.0, (n, 1))],
+                         1).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.2, -2.4, (n, 3))).astype(np.float32)
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.95, (n,)).astype(np.float32)
+    shs = rng.uniform(-0.4, 0.6, (n, 16, 3)).astype(np.float32)
+    alive = np.ones((n,), bool)
+    alive[::13] = False
+    cam = Camera(uid=0, image_name="t", R=np.eye(3), T=np.zeros(3),
+                 fovx=1.1, fovy=0.8, image=None, width=width, height=height)
+    camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+    return pts, scales, quats, opac, shs, alive, camera
+
+
+def _preprocess(scene, width, height):
+    pts, scales, quats, opac, shs, alive, camera = scene
+    return proj_ops.preprocess(
+        jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(shs), jnp.asarray(alive),
+        sh_degree=2, world_view=camera["world_view"],
+        full_proj=camera["full_proj"],
+        camera_center=camera["camera_center"],
+        tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
+        width=width, height=height, low_pass=0.3, scale_modifier=1.0)
+
+
+@pytest.mark.parametrize("max_instances", [2048, 4096])
+def test_sorted_pack_matches_gather(max_instances):
+    width, height = 160, 112
+    scene = _scene()
+    prep = _preprocess(scene, width, height)
+    grid_x, grid_y = (width + 15) // 16, (height + 15) // 16
+    n_tiles = grid_x * grid_y
+    n = prep.depth.shape[0]
+
+    binn = binning_ops.bin_gaussians(prep, grid_x, grid_y, max_instances)
+    table = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.xy[:, 0], prep.xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth] + [jnp.zeros_like(prep.depth)] * 6, axis=0)
+    table = jnp.concatenate([table, jnp.zeros_like(table[:, :1])], axis=1)
+    ref = jnp.take(table, binn.gauss_idx, axis=1)
+
+    table10 = table[:10, :n]
+    pack, total, ovf = binning_ops.sorted_pack(
+        table10, prep.tiles_touched, prep.rect_min, prep.rect_wh,
+        jnp.asarray(0, jnp.int32), grid_x, n_tiles, max_instances)
+
+    assert int(total) == int(binn.num_instances)
+    assert not bool(ovf)
+    m = int(binn.num_instances)
+    np.testing.assert_array_equal(np.asarray(ref)[:, :m],
+                                  np.asarray(pack)[:, :m])
+    # padding columns carry no opacity (never composited anyway)
+    assert np.all(np.asarray(pack)[5, m:] == 0.0)
+
+
+def test_fused_render_and_grads_match_legacy(monkeypatch):
+    width, height = 160, 112
+    scene = _scene(seed=3)
+    pts, scales, quats, opac, shs, alive, camera = scene
+    M = 2048
+
+    def run(impl):
+        monkeypatch.setattr(render_mod, "EXPAND_IMPL", impl)
+
+        def loss_fn(means, sc, qu, op, sh, tap):
+            out = render_mod.render(
+                means, sc, qu, op, sh, jnp.asarray(alive),
+                camera=camera, width=width, height=height, sh_degree=2,
+                bg=jnp.asarray([0.1, 0.2, 0.3], jnp.float32),
+                low_pass=0.3, max_instances=M, xy_tap=tap)
+            w = jnp.cos(jnp.arange(out.render.size, dtype=jnp.float32)
+                        ).reshape(out.render.shape)
+            return jnp.sum(out.render * w), out
+
+        tap = jnp.zeros((pts.shape[0], 2), jnp.float32)
+        return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5),
+                                  has_aux=True)(
+            jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), tap)
+
+    (v1, o1), g1 = run("legacy")
+    (v2, o2), g2 = run("fused")
+
+    assert int(o1.num_instances) == int(o2.num_instances)
+    np.testing.assert_array_equal(np.asarray(o1.render),
+                                  np.asarray(o2.render))
+    np.testing.assert_array_equal(np.asarray(o1.n_contrib),
+                                  np.asarray(o2.n_contrib))
+    for a, b, name in zip(g1, g2, ["xyz", "scl", "rot", "op", "shs", "tap"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_fused_overflow_flag(monkeypatch):
+    """Overflow (total > M) must be reported identically; the step is
+    discarded by the Trainer so only the flag/count semantics matter."""
+    width, height = 160, 112
+    scene = _scene(seed=5)
+    prep = _preprocess(scene, width, height)
+    grid_x, grid_y = (width + 15) // 16, (height + 15) // 16
+    n_tiles = grid_x * grid_y
+    M = 256  # far below the true instance count
+
+    binn = binning_ops.bin_gaussians(prep, grid_x, grid_y, M)
+    assert bool(binn.overflow)
+
+    table10 = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.xy[:, 0], prep.xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth], axis=0)
+    pack, total, ovf = binning_ops.sorted_pack(
+        table10, prep.tiles_touched, prep.rect_min, prep.rect_wh,
+        jnp.asarray(0, jnp.int32), grid_x, n_tiles, M)
+    assert bool(ovf)
+    assert int(total) == int(binn.num_instances)
+    assert np.isfinite(np.asarray(pack)).all()

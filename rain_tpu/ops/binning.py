@@ -172,6 +172,30 @@ def bin_gaussians(prep: Preprocessed, grid_x: int, grid_y: int,
     )
 
 
+# Gaussians per indicator-matmul block in tile_ranges. [R, B] + [B, X]
+# bf16 indicator transients stay ~150 MB at the garden grid (R=53, X=82)
+# instead of growing linearly with N (≈1.3 GB at N=4M unblocked).
+TR_BLOCK = 1 << 19
+
+
+def _rect_counts(ys, xs, rect_min, rect_wh, visible):
+    """counts2d[y, x] = #visible Gaussians whose rect covers tile (x, y),
+    via one 0/1-indicator matmul on the MXU — exact in f32 (products are
+    0/1, counts < 2^24)."""
+    ry0 = rect_min[:, 1]
+    ry1 = ry0 + rect_wh[:, 1]
+    row_ind = ((ys[:, None] >= ry0[None, :]) &
+               (ys[:, None] < ry1[None, :]) &
+               visible[None, :]).astype(jnp.bfloat16)        # [R, B]
+    rx0 = rect_min[:, 0]
+    rx1 = rx0 + rect_wh[:, 0]
+    col_ind = ((xs[None, :] >= rx0[:, None]) &
+               (xs[None, :] < rx1[:, None])).astype(jnp.bfloat16)  # [B, X]
+    return jax.lax.dot_general(
+        row_ind, col_ind, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def tile_ranges(rect_min, rect_wh, visible, grid_x: int, n_tiles: int,
                 tile_offset, max_instances: int):
     """Per-tile [start, end) instance ranges (identifyTileRanges,
@@ -179,31 +203,39 @@ def tile_ranges(rect_min, rect_wh, visible, grid_x: int, n_tiles: int,
 
     Instead of binary-searching the sorted [M] array (a 20-round while
     loop, ~19 ms wall in the integrated graph), count covering Gaussians
-    per tile directly on the MXU: counts2d[y, x] = Σ_g row_ind[y, g] ·
-    col_ind[g, x] with 0/1 rect-interval indicators — one [R, N] @ [N, X]
-    matmul, exact in f32 (products are 0/1, accumulator f32, counts <
-    2^24) — then prefix-sum the flattened tile-major counts. Equal to the
-    searchsorted ranges whenever the instance buffer did not overflow; on
-    overflow (a discarded step — the Trainer re-runs at a grown tier)
-    ranges are clamped to [0, M] so the kernels stay in-bounds.
+    per tile directly on the MXU with rect-interval indicator matmuls
+    (_rect_counts), blocked over N so the bf16 indicator transients stay
+    bounded at end-state populations — then prefix-sum the flattened
+    tile-major counts. Equal to the searchsorted ranges whenever the
+    instance buffer did not overflow; on overflow (a discarded step — the
+    Trainer re-runs at a grown tier) ranges are clamped to [0, M] so the
+    kernels stay in-bounds.
     """
     M = max_instances
+    n = rect_min.shape[0]
     n_rows = n_tiles // grid_x
     y0 = tile_offset // grid_x
     ys = y0 + jnp.arange(n_rows, dtype=jnp.int32)            # [R]
-    ry0 = rect_min[:, 1]
-    ry1 = ry0 + rect_wh[:, 1]
-    row_ind = ((ys[:, None] >= ry0[None, :]) &
-               (ys[:, None] < ry1[None, :]) &
-               visible[None, :]).astype(jnp.bfloat16)        # [R, N]
-    xs = jnp.arange(grid_x, dtype=jnp.int32)
-    rx0 = rect_min[:, 0]
-    rx1 = rx0 + rect_wh[:, 0]
-    col_ind = ((xs[None, :] >= rx0[:, None]) &
-               (xs[None, :] < rx1[:, None])).astype(jnp.bfloat16)  # [N, X]
-    counts2d = jax.lax.dot_general(
-        row_ind, col_ind, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    xs = jnp.arange(grid_x, dtype=jnp.int32)                 # [X]
+
+    if n <= TR_BLOCK:
+        counts2d = _rect_counts(ys, xs, rect_min, rect_wh, visible)
+    else:
+        k = (n + TR_BLOCK - 1) // TR_BLOCK
+        npad = k * TR_BLOCK
+        pad = npad - n
+        rm = jnp.pad(rect_min, ((0, pad), (0, 0))).reshape(
+            k, TR_BLOCK, 2)
+        rw = jnp.pad(rect_wh, ((0, pad), (0, 0))).reshape(
+            k, TR_BLOCK, 2)
+        vis = jnp.pad(visible, (0, pad)).reshape(k, TR_BLOCK)
+
+        def body(acc, blk):
+            rm_b, rw_b, vis_b = blk
+            return acc + _rect_counts(ys, xs, rm_b, rw_b, vis_b), None
+
+        counts2d, _ = jax.lax.scan(
+            body, jnp.zeros((n_rows, grid_x), jnp.float32), (rm, rw, vis))
     counts = counts2d.reshape(-1).astype(jnp.int32)          # [n_tiles]
     ends_all = jnp.cumsum(counts)
     tile_end = jnp.minimum(ends_all, M).astype(jnp.int32)
@@ -228,6 +260,16 @@ def tile_ranges(rect_min, rect_wh, visible, grid_x: int, n_tiles: int,
 # tile_render.ROW_*: conic a/b/c, xy, opacity, rgb, depth)
 _ROW_EXC_HI, _ROW_EXC_LO, _ROW_W, _ROW_BASE, _ROW_GAUSS, _ROW_RANK = \
     range(10, 16)
+
+# Instance→Gaussian gradient reduction backend for sorted_pack's VJP.
+# "mxu" (default): inverse-permutation gather to rank order + windowed
+# one-hot MXU segment reduction (ops.expand.reduce_instances) — the XLA
+# scatter lowers to a ~292 ms serial loop at M=2^22 on v5e; the MXU path
+# runs the same sums in a few ms. "scatter" keeps the old path for A/B.
+REDUCE_IMPL = os.environ.get("RAIN_TPU_REDUCE", "mxu")
+if REDUCE_IMPL not in ("mxu", "scatter"):
+    raise ValueError(f"RAIN_TPU_REDUCE={REDUCE_IMPL!r} is not a valid "
+                     f"reduction implementation; use 'mxu' or 'scatter'")
 
 
 def _expand_chunk(max_instances: int) -> int:
@@ -269,7 +311,9 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
     n = tiles_touched.shape[0]
     M = max_instances
     C = _expand_chunk(M)
-    assert C, f"max_instances={M} has no pow2 chunk divisor >= 128"
+    if not C:
+        raise ValueError(
+            f"max_instances={M} has no pow2 chunk divisor >= 128")
 
     visible = tiles_touched > 0
     depth_key = jnp.where(visible, table10[9], jnp.inf)
@@ -313,8 +357,13 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
     exc_p = jnp.pad(exc, (0, npad - n))[None, :]
     tiles_p = jnp.pad(tiles_d, (0, npad - n))[None, :]
 
-    # per-chunk window block: rank at the chunk's first instance
+    # per-chunk window block: rank at the chunk's first instance. Chunks
+    # past the true instance count reuse the LAST real chunk's window
+    # (their one-hots are empty either way) so wblk stays non-decreasing
+    # with steps <= 1 — the reduction kernel's visited-block span and its
+    # consecutive-revisit accumulation both rely on contiguity.
     kidx = jnp.arange(M // C, dtype=jnp.int32) * C
+    kidx = jnp.minimum(kidx, jnp.maximum(total - 1, 0))
     wstart = jnp.searchsorted(offs, kidx, side="right").astype(jnp.int32)
     wblk = jnp.clip(wstart // C, 0, npad // C - 2).astype(jnp.int32)
 
@@ -336,33 +385,75 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
 
     rank_bits = max(int(n - 1).bit_length(), 1)
     attrs = tuple(ex[r] for r in range(10))
+    # the extra sort payload: the owning-Gaussian index for the scatter
+    # reduction, or the pre-sort instance position (generated = rank
+    # order) whose inverse permutation drives the MXU reduction
+    extra = gauss if REDUCE_IMPL == "scatter" else \
+        jnp.arange(M, dtype=jnp.int32)
     if (n_tiles + 1) << rank_bits <= 2 ** 31:
         # packed single-key unstable sort (keys unique — equals the
         # stable (tile, rank) order), carrying the 10 attribute rows +
-        # the owner index as payloads
+        # the reduction payload
         key = (tile << rank_bits) | rank
-        out = jax.lax.sort((key,) + attrs + (gauss,), dimension=0,
+        out = jax.lax.sort((key,) + attrs + (extra,), dimension=0,
                            is_stable=False, num_keys=1)
     else:
-        out = jax.lax.sort((tile, rank) + attrs + (gauss,), dimension=0,
+        out = jax.lax.sort((tile, rank) + attrs + (extra,), dimension=0,
                            is_stable=False, num_keys=2)
     pack = jnp.concatenate([
         jnp.stack(out[-11:-1]), jnp.zeros((6, M), jnp.float32)], axis=0)
-    gauss_sorted = out[-1]
-    res = (gauss_sorted, n)
+    if REDUCE_IMPL == "scatter":
+        res = (out[-1], n)
+    else:
+        # src_sorted[j] = generated-order (rank-order) position of the
+        # tile-order instance j; the backward un-permutes its gradient
+        # columns by sorting on it (an [M] gather by the inverse
+        # permutation lowers to a ~119 ms serial loop at M=2^22 on v5e;
+        # the payload sort runs in ~1/3 of that)
+        src_sorted = out[-1]
+        # inv_order[g] = depth rank of Gaussian g (inverts order)
+        inv_order = jax.lax.sort(
+            (order, jnp.arange(n, dtype=jnp.int32)), dimension=0,
+            is_stable=False, num_keys=1)[1]
+        res = (src_sorted, inv_order, exc_p, tiles_p, wblk, total)
     return (pack, total, total > M), res
 
 
 def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
-    gauss_sorted, n = res
-    d_pack = cts[0]
-    # deterministic scatter-add reduction to per-Gaussian gradients
-    # (dump index n from padding instances is dropped); the barriers
-    # keep XLA from fusing the scatter into a serial loop
-    g, idx = jax.lax.optimization_barrier((d_pack[:10], gauss_sorted))
-    d10 = jnp.zeros((10, n), d_pack.dtype).at[:, idx].add(g, mode="drop")
-    d10 = jax.lax.optimization_barrier(d10)
+    M = max_instances
     zi = lambda a_shape: np.zeros(a_shape, jax.dtypes.float0)  # noqa: E731
+    if REDUCE_IMPL == "scatter":
+        gauss_sorted, n = res
+        d_pack = cts[0]
+        # deterministic scatter-add reduction to per-Gaussian gradients
+        # (dump index n from padding instances is dropped); the barriers
+        # keep XLA from fusing the scatter into a serial loop
+        g, idx = jax.lax.optimization_barrier((d_pack[:10], gauss_sorted))
+        d10 = jnp.zeros((10, n), d_pack.dtype).at[:, idx].add(
+            g, mode="drop")
+        d10 = jax.lax.optimization_barrier(d10)
+        return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
+
+    src_sorted, inv_order, exc_p, tiles_p, wblk, total = res
+    n = inv_order.shape[0]
+    C = _expand_chunk(M)
+    # un-permute gradient columns to rank (generated/depth) order by
+    # sorting on the generated position carried through the forward sort.
+    # Columns past the true instance count are unwritten kernel memory —
+    # zero them (their one-hot rows are all-zero anyway, but 0·garbage
+    # must not produce NaN).
+    d_sorted = jax.lax.sort(
+        (src_sorted,) + tuple(cts[0][r] for r in range(10)),
+        dimension=0, is_stable=False, num_keys=1)
+    valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(total, M)
+    d_rank = jnp.concatenate([
+        jnp.stack(d_sorted[1:]), jnp.zeros((6, M), jnp.float32)], axis=0)
+    d_rank = jnp.where(valid[None, :], d_rank, 0.0)
+    d_depth = expand_ops.reduce_instances(d_rank, exc_p, tiles_p, wblk,
+                                          C=C)
+    # depth order → original Gaussian order (pure permutation gather)
+    dd, iord = jax.lax.optimization_barrier((d_depth[:10, :n], inv_order))
+    d10 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
     return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 
 

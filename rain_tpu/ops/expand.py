@@ -121,3 +121,110 @@ def expand_instances(table: jnp.ndarray, exc: jnp.ndarray,
         compiler_params=params,
         interpret=interpret,
     )(wblk, table, table, exc, exc, tiles, tiles)
+
+
+# ---------------------------------------------------------------------------
+# The transpose: windowed one-hot MXU instance REDUCTION.
+#
+# The VJP of expansion is a segmented sum of per-instance gradient columns
+# back to their owning Gaussian. As an XLA scatter-add this lowers to a
+# serial per-column loop (~292 ms at M=2^22 on v5e — 65% of the whole
+# train step); here the same sums run on the MXU as the transposed
+# selection matmul: for a chunk of C rank-ordered instance gradients,
+# d_window[r, w] = Σ_c d[r, c] · onehot[c, w] with the identical interval
+# one-hot the forward uses. Chunk windows advance monotonically (rank
+# increments are 0/1), so each output block is visited by one contiguous
+# run of grid steps and accumulates in VMEM (the deterministic replacement
+# of the CUDA atomicAdd reduction, backward.cu:513-544).
+# ---------------------------------------------------------------------------
+
+
+def _reduce_kernel(C, wblk_ref, d_ref, exc0, exc1, til0, til1,
+                   out0, out1):
+    k = pl.program_id(0)
+    i = k * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    prev = wblk_ref[jnp.maximum(k - 1, 0)]
+    first = (k == 0) | (wblk_ref[k] != prev)
+
+    def half(exc, til):
+        # oht[c, w] = 1 iff window-Gaussian w owns instance i_c; summing
+        # d over c per w is the exact per-Gaussian segment sum (each
+        # instance owned by exactly one Gaussian)
+        e = exc[0:1, :]
+        t = til[0:1, :]
+        oht = ((e <= i) & (i < e + t)).astype(_f32)           # [C, C]
+        return jax.lax.dot_general(
+            d_ref[:], oht, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_f32, precision=_HI)
+
+    h0 = half(exc0, til0)
+    h1 = half(exc1, til1)
+
+    # out blocks revisit consecutively (wblk non-decreasing, steps of
+    # <= 1): zero the VMEM buffer at each block's first visit, then
+    # accumulate across the run
+    @pl.when(first)
+    def _():
+        out0[:] = jnp.zeros_like(out0)
+        out1[:] = jnp.zeros_like(out1)
+
+    out0[:] += h0
+    out1[:] += h1
+
+
+@functools.partial(jax.jit, static_argnames=("C", "interpret"))
+def reduce_instances(d: jnp.ndarray, exc: jnp.ndarray, tiles: jnp.ndarray,
+                     wblk: jnp.ndarray, *, C: int = EXP_C,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    """Reduce per-instance gradient columns to per-Gaussian columns.
+
+    Args:
+      d: [16, M] f32 gradient columns in RANK (generated/depth) order;
+        columns >= num_instances must already be zeroed.
+      exc, tiles, wblk: exactly the forward expansion's operands.
+
+    Returns [16, Npad] f32: column g = Σ_{i owned by g} d[:, i] (zero for
+    Gaussian blocks outside [wblk[0], wblk[-1] + 1] — all zero-grad).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n_chunks = wblk.shape[0]
+    npad = exc.shape[1]
+    if npad < 2 * C or npad % C:
+        raise ValueError(f"exc must be padded to a multiple of C={C}, "
+                         f"got {npad}")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((16, C), lambda k, w: (0, k)),
+            pl.BlockSpec((1, C), lambda k, w: (0, w[k])),
+            pl.BlockSpec((1, C), lambda k, w: (0, w[k] + 1)),
+            pl.BlockSpec((1, C), lambda k, w: (0, w[k])),
+            pl.BlockSpec((1, C), lambda k, w: (0, w[k] + 1)),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, C), lambda k, w: (0, w[k])),
+            pl.BlockSpec((16, C), lambda k, w: (0, w[k] + 1)),
+        ],
+    )
+    try:
+        params = pltpu.CompilerParams(dimension_semantics=("arbitrary",))
+    except TypeError:
+        params = pltpu.CompilerParams()
+    out0, out1 = pl.pallas_call(
+        functools.partial(_reduce_kernel, C),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((16, npad), _f32),
+                   jax.ShapeDtypeStruct((16, npad), _f32)],
+        compiler_params=params,
+        interpret=interpret,
+    )(wblk, d, exc, exc, tiles, tiles)
+    # blocks never visited hold uninitialized memory — mask to the
+    # contiguous visited span before summing the two half contributions
+    blk = jnp.arange(npad, dtype=jnp.int32) // C
+    vis0 = (blk >= wblk[0]) & (blk <= wblk[-1])
+    vis1 = (blk >= wblk[0] + 1) & (blk <= wblk[-1] + 1)
+    return (jnp.where(vis0[None, :], out0, 0.0) +
+            jnp.where(vis1[None, :], out1, 0.0))

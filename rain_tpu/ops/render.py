@@ -81,6 +81,10 @@ class RenderOutput(NamedTuple):
 # [M] gathers (ops.expand / ops.binning.sorted_pack). "legacy": rank-
 # indexed gathers + [16, M] pack gather (kept for A/B + parity tests).
 EXPAND_IMPL = os.environ.get("RAIN_TPU_EXPAND", "fused")
+if EXPAND_IMPL not in ("fused", "legacy"):
+    raise ValueError(
+        f"RAIN_TPU_EXPAND={EXPAND_IMPL!r} is not a valid expand "
+        f"implementation; use 'fused' or 'legacy'")
 
 
 def render_tiles(prep: proj_ops.Preprocessed,

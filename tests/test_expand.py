@@ -82,6 +82,11 @@ def test_sorted_pack_matches_gather(max_instances):
 
 
 def test_fused_render_and_grads_match_legacy(monkeypatch):
+    # pin the scatter reduction: it sums instance gradients in the same
+    # (tile-order) sequence as the legacy gather transpose, keeping this
+    # comparison bit-exact (the MXU reduction sums in rank order — same
+    # values, different f32 rounding; covered by its own parity test)
+    monkeypatch.setattr(binning_ops, "REDUCE_IMPL", "scatter")
     width, height = 160, 112
     scene = _scene(seed=3)
     pts, scales, quats, opac, shs, alive, camera = scene
@@ -117,6 +122,91 @@ def test_fused_render_and_grads_match_legacy(monkeypatch):
     for a, b, name in zip(g1, g2, ["xyz", "scl", "rot", "op", "shs", "tap"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("n,M,kill", [
+    (300, 512, 0.3),
+    # capacity >> instances: most chunks are padding, exercising the
+    # pinned-window contiguity of wblk (an early gap here once leaked
+    # uninitialized blocks into the visited span)
+    (1200, 2048, 0.9),
+])
+def test_reduce_instances_segment_sums(n, M, kill):
+    """reduce_instances == the per-Gaussian segment sum of rank-ordered
+    instance gradient columns (the scatter-add/atomicAdd replacement)."""
+    from rain_tpu.ops import expand as expand_ops
+    rng = np.random.default_rng(11)
+    C = 128
+    tiles = rng.integers(0, 5, n).astype(np.int32)
+    tiles[rng.random(n) < kill] = 0         # invisible Gaussians
+    # depth order puts visible Gaussians first (rank structure)
+    tiles = np.sort(tiles)[::-1].copy()
+    offs = np.cumsum(tiles)
+    exc = offs - tiles
+    total = int(offs[-1])
+    assert total < M
+    npad = (n // C + 2) * C
+
+    d = rng.standard_normal((16, M)).astype(np.float32)
+    d[:, total:] = 0.0
+
+    exc_p = np.zeros((1, npad), np.int32)
+    exc_p[0, :n] = exc
+    tiles_p = np.zeros((1, npad), np.int32)
+    tiles_p[0, :n] = tiles
+    # the production wblk formula (binning._sorted_pack_fwd): padding
+    # chunks pinned to the last real chunk's window
+    kidx = np.minimum(np.arange(M // C) * C, max(total - 1, 0))
+    wstart = np.searchsorted(offs, kidx, side="right")
+    wblk = np.clip(wstart // C, 0, npad // C - 2).astype(np.int32)
+    assert np.all(np.diff(wblk) >= 0) and np.all(np.diff(wblk) <= 1)
+
+    out = expand_ops.reduce_instances(
+        jnp.asarray(d), jnp.asarray(exc_p), jnp.asarray(tiles_p),
+        jnp.asarray(wblk), C=C)
+
+    want = np.zeros((16, npad), np.float32)
+    for g in range(n):
+        want[:, g] = d[:, exc[g]:exc[g] + tiles[g]].sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_mxu_reduce_grads_match_scatter(monkeypatch):
+    """Full-path gradient parity of the two reduction backends (same
+    sums, different f32 summation order → tight allclose)."""
+    width, height = 160, 112
+    scene = _scene(seed=9)
+    pts, scales, quats, opac, shs, alive, camera = scene
+    M = 2048
+
+    def run(impl):
+        monkeypatch.setattr(binning_ops, "REDUCE_IMPL", impl)
+
+        def loss_fn(means, sc, qu, op, sh, tap):
+            out = render_mod.render(
+                means, sc, qu, op, sh, jnp.asarray(alive),
+                camera=camera, width=width, height=height, sh_degree=2,
+                bg=jnp.asarray([0.3, 0.1, 0.2], jnp.float32),
+                low_pass=0.3, max_instances=M, xy_tap=tap)
+            w = jnp.sin(jnp.arange(out.render.size, dtype=jnp.float32)
+                        ).reshape(out.render.shape)
+            return jnp.sum(out.render * w), out
+
+        tap = jnp.zeros((pts.shape[0], 2), jnp.float32)
+        return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5),
+                                  has_aux=True)(
+            jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), tap)
+
+    (v1, o1), g1 = run("scatter")
+    (v2, o2), g2 = run("mxu")
+
+    np.testing.assert_array_equal(np.asarray(o1.render),
+                                  np.asarray(o2.render))
+    for a, b, name in zip(g1, g2, ["xyz", "scl", "rot", "op", "shs", "tap"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6, err_msg=name)
 
 
 def test_fused_overflow_flag(monkeypatch):

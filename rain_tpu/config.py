@@ -66,6 +66,11 @@ class PipelineParams:
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     debug: bool = False
+    # counterpart of the reference --detect_anomaly
+    # (train.py:234,295 → torch.autograd.set_detect_anomaly): enables
+    # jax_debug_nans so the first NaN-producing op raises with its
+    # traceback instead of the NaN propagating to the loss
+    detect_anomaly: bool = False
 
     SHORTHANDS = frozenset()
 
@@ -121,6 +126,10 @@ class SystemParams:
     log_every: int = 10
     seed: int = 0
     camera_cache: int = 0          # max GT images pinned in HBM (0 = all)
+    profile_steps: str = ""        # "A-B": capture a jax.profiler trace
+    #   over iterations [A, B] to <model_path>/profile/ (the TPU-rich
+    #   counterpart of the reference's iter_time-only timing,
+    #   train.py:47-48,183)
 
     SHORTHANDS = frozenset()
 

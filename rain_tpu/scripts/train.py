@@ -46,6 +46,15 @@ def main(argv=None):
     model = cfgs["model"]
     rain = cfgs["rain"]
 
+    import jax
+    if cfgs["pipeline"].detect_anomaly:
+        # counterpart of torch.autograd.set_detect_anomaly
+        # (reference train.py:234,295): fail at the first NaN-producing
+        # op with its traceback
+        jax.config.update("jax_debug_nans", True)
+    # in a multi-host run only process 0 writes shared provenance files
+    is_proc0 = jax.process_index() == 0
+
     # output dir resolution (train.py:154-169)
     if model.model_path:
         model_path = model.model_path
@@ -55,8 +64,10 @@ def main(argv=None):
         model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
     print(f"Output folder: {model_path}")
     Path(model_path).mkdir(parents=True, exist_ok=True)
-    cfg_mod.save_config(cfgs, Path(model_path) / "cfg_args.json")
-    (Path(model_path) / "command_line.txt").write_text(" ".join(sys.argv))
+    if is_proc0:
+        cfg_mod.save_config(cfgs, Path(model_path) / "cfg_args.json")
+        (Path(model_path) / "command_line.txt").write_text(
+            " ".join(sys.argv))
 
     from rain_tpu.data.dataset import load_scene
     from rain_tpu.train.trainer import Trainer
@@ -76,24 +87,26 @@ def main(argv=None):
           f"init points: {scene.points.shape[0]}")
 
     # provenance files (reference scene/__init__.py:36-55): the input point
-    # cloud and the camera poses used for this run
-    import json as _json
-    from rain_tpu.data import ply as _ply
-    from rain_tpu.data.cameras import fov2focal as _f2f
-    _ply.write_point_cloud(Path(model_path) / "input.ply", scene.points,
-                           scene.colors * 255.0)
-    cam_entries = []
-    for cid, cam in enumerate(scene.test_cameras + scene.train_cameras):
-        W2C = np.linalg.inv(cam.world_view)
-        cam_entries.append({
-            "id": cid, "img_name": cam.image_name,
-            "width": cam.width, "height": cam.height,
-            "position": W2C[:3, 3].tolist(),
-            "rotation": [r.tolist() for r in W2C[:3, :3]],
-            "fy": _f2f(cam.fovy, cam.height),
-            "fx": _f2f(cam.fovx, cam.width)})
-    (Path(model_path) / "cameras.json").write_text(
-        _json.dumps(cam_entries))
+    # cloud and the camera poses used for this run — process 0 only, so a
+    # multi-host run doesn't race N processes on the same files
+    if is_proc0:
+        import json as _json
+        from rain_tpu.data import ply as _ply
+        from rain_tpu.data.cameras import fov2focal as _f2f
+        _ply.write_point_cloud(Path(model_path) / "input.ply", scene.points,
+                               scene.colors * 255.0)
+        cam_entries = []
+        for cid, cam in enumerate(scene.test_cameras + scene.train_cameras):
+            W2C = np.linalg.inv(cam.world_view)
+            cam_entries.append({
+                "id": cid, "img_name": cam.image_name,
+                "width": cam.width, "height": cam.height,
+                "position": W2C[:3, 3].tolist(),
+                "rotation": [r.tolist() for r in W2C[:3, :3]],
+                "fy": _f2f(cam.fovy, cam.height),
+                "fx": _f2f(cam.fovx, cam.width)})
+        (Path(model_path) / "cameras.json").write_text(
+            _json.dumps(cam_entries))
 
     viewer = None
     if args.viewer:

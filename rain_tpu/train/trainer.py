@@ -52,8 +52,11 @@ class Trainer:
         self.model_path.mkdir(parents=True, exist_ok=True)
         self.log = log_fn
         self.viewer = viewer
+        # multi-host: only process 0 writes TB / checkpoints / PLYs
+        # (replicated state — every process would race on the same files)
+        self.is_proc0 = jax.process_index() == 0
         self.tb = None
-        if tensorboard:
+        if tensorboard and self.is_proc0:
             try:  # same optional dependency handling as train.py:17-21
                 from torch.utils.tensorboard import SummaryWriter
                 self.tb = SummaryWriter(str(self.model_path))
@@ -88,6 +91,14 @@ class Trainer:
 
         bg = [1.0, 1.0, 1.0] if self.model.white_background else [0, 0, 0]
         self.background = jnp.asarray(bg, jnp.float32)
+
+        # --profile_steps A-B: jax.profiler trace over those iterations
+        self._profile_range = None
+        self._profiling = False
+        spec = getattr(self.system, "profile_steps", "")
+        if spec:
+            a, _, b = spec.partition("-")
+            self._profile_range = (int(a), int(b or a))
 
         self.iteration = 0
         self.low_pass = 0.3
@@ -196,6 +207,19 @@ class Trainer:
                     lambda_dssim=self.opt_cfg.lambda_dssim,
                     update_densify_stats=update_stats)
             if not bool(aux.instance_overflow):
+                # immediate failure detection (reference dgr/__init__.py:
+                # 73-80 dumps state the moment a kernel throws): the
+                # overflow fetch above already paid the host sync, so
+                # checking loss finiteness every step costs nothing extra
+                if not np.isfinite(float(aux.loss)):
+                    dump = (self.model_path /
+                            f"snapshot_iter{self.iteration}.npz")
+                    ckpt.save_checkpoint(dump, self.state, self.opt_state,
+                                         self.iteration,
+                                         self.spatial_lr_scale)
+                    raise FloatingPointError(
+                        f"non-finite loss at iteration {self.iteration}; "
+                        f"pre-step state dumped to {dump}")
                 self.state, self.opt_state = state, opt
                 return aux
             self.log(f"[cap] instance overflow at iter {self.iteration} "
@@ -228,6 +252,7 @@ class Trainer:
         for iteration in range(first_iter + 1, iterations + 1):
             t_iter0 = time.time()
             self.iteration = iteration
+            self._profile_tick(iteration)
             if self.viewer is not None:
                 self._poll_viewer(iteration >= iterations)
             cam = self._next_camera()
@@ -293,17 +318,8 @@ class Trainer:
 
             if iteration % self.system.log_every == 0 or \
                     iteration == iterations:
+                # finiteness already verified per step in _run_step
                 loss = float(aux.loss)
-                if not np.isfinite(loss):
-                    # counterpart of the reference debug snapshot dumps
-                    # (dgr/__init__.py:73-80): save the full state for
-                    # offline diagnosis, then abort.
-                    dump = self.model_path / f"snapshot_iter{iteration}.npz"
-                    ckpt.save_checkpoint(dump, self.state, self.opt_state,
-                                         iteration, self.spatial_lr_scale)
-                    raise FloatingPointError(
-                        f"non-finite loss at iteration {iteration}; "
-                        f"state dumped to {dump}")
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 if self.tb is not None:
                     self.tb.add_scalar("train_loss_patches/l1_loss",
@@ -321,17 +337,39 @@ class Trainer:
 
             if iteration in test_iterations:
                 self.report(iteration)
-            if iteration in save_iterations:
+            if iteration in save_iterations and self.is_proc0:
                 path = (self.model_path / "point_cloud" /
                         f"iteration_{iteration}" / "point_cloud.ply")
                 ckpt.save_ply_snapshot(path, self.state)
                 self.log(f"[{iteration}] saved {path}")
-            if iteration in checkpoint_iterations:
+            if iteration in checkpoint_iterations and self.is_proc0:
                 path = self.model_path / f"chkpnt{iteration}.npz"
                 ckpt.save_checkpoint(path, self.state, self.opt_state,
                                      iteration, self.spatial_lr_scale)
                 self.log(f"[{iteration}] checkpoint {path}")
+        self._profile_tick(iterations + 1)   # close a still-open trace
         return self.state
+
+    def _profile_tick(self, iteration: int):
+        """Start/stop the jax.profiler trace for --profile_steps A-B
+        (first-class profiling hook; the reference only logs per-iter
+        wall time, train.py:47-48,183 — the TPU trace carries full
+        per-op device timelines, viewable in TensorBoard / xprof and
+        parseable with tools/profiling/xplane_parse.py)."""
+        if self._profile_range is None:
+            return
+        a, b = self._profile_range
+        if not self._profiling and a <= iteration <= b:
+            path = self.model_path / "profile"
+            path.mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(path))
+            self._profiling = True
+            self.log(f"[profile] tracing iterations {iteration}..{b} "
+                     f"-> {path}")
+        elif self._profiling and iteration > b:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.log("[profile] trace complete")
 
     def _poll_viewer(self, training_done: bool):
         """Serve the SIBR viewer (reference train.py:56-69)."""
@@ -420,6 +458,7 @@ class Trainer:
             self.tb.add_scalar("total_points", int(self.state.n_alive),
                                iteration)
         self.history.append({"iteration": iteration, **results})
-        (self.model_path / "log_file.txt").open("a").write(
-            json.dumps({"iteration": iteration, **results}) + "\n")
+        if self.is_proc0:
+            (self.model_path / "log_file.txt").open("a").write(
+                json.dumps({"iteration": iteration, **results}) + "\n")
         return results

@@ -40,13 +40,19 @@ def top_ops(logdir, steps=5, top=48):
             continue
         ev_meta = {m: plane.event_metadata[m].name
                    for m in plane.event_metadata}
+        # device planes also carry module/step-level lines whose events
+        # NEST the op events — summing every line double-counts. Keep
+        # only the XLA-op line(s); fall back to all lines if none match.
+        op_lines = [ln for ln in plane.lines
+                    if "XLA Ops" in ln.name or ln.name == "Ops"]
         totals = {}
-        for line in plane.lines:
+        for line in op_lines or plane.lines:
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, "?")
                 totals[name] = totals.get(name, 0) + ev.duration_ps
         rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-        print(f"== plane: {plane.name} (lines: {len(plane.lines)}) ==")
+        print(f"== plane: {plane.name} (op lines: "
+              f"{len(op_lines) or len(plane.lines)}) ==")
         tot = sum(totals.values())
         print(f"   total device time: {tot/1e9/steps:.2f} ms/step")
         for name, ps in rows:

@@ -1,32 +1,47 @@
-"""Multi-chip training: tile-row sharding + per-Gaussian gradient psum.
+"""Multi-chip training: Gaussian-sharded preprocess/optimizer + tile-row
+sharded rasterization (ZeRO-style).
 
 The scale-out design the single-GPU reference lacks (SURVEY §2 parallelism
-inventory): Gaussian parameters are replicated across the mesh; each chip
-preprocesses against its own horizontal band of tile rows, bins and sorts
-only its band's instances, composites its band with the Pallas kernel, and
-computes the loss terms on its band; per-Gaussian parameter gradients are
-then all-reduced (psum) over ICI — the deterministic collective
-counterpart of the reference's atomicAdd within one GPU
-(backward.cu:513-544). The Adam step runs replicated.
+inventory). Both shardings live on ONE mesh axis — each chip owns a
+1/D slice of the Gaussian capacity AND one horizontal band of tile rows:
+
+  fwd:  activate+preprocess its Gaussian shard (1/D of the per-Gaussian
+        math) → all-gather the COMPACT per-Gaussian render streams
+        (table10 40 B/Gaussian + rect ints 20 B/Gaussian) → bin/sort/
+        composite its own tile band → band loss sums.
+  bwd:  autodiff runs the band composite backward locally; the
+        all-gather's transpose is a psum_scatter that reduces every
+        band's table cotangents onto the owning shard (the cross-chip
+        atomicAdd analogue, backward.cu:513-544) — then ONE preprocess
+        backward per shard chains to parameter gradients. No full-pytree
+        gradient all-reduce exists anywhere.
+  opt:  Adam states and updates are Gaussian-sharded (ZeRO): the update
+        runs outside the shard_map on globally-sharded arrays, purely
+        elementwise, so XLA inserts no collectives at all.
+
+Per-step collective budget (all riding ICI): 60 B/Gaussian gathered
+forward + 40 B/Gaussian reduce-scattered backward ≈ 100 B/Gaussian —
+at 262k Gaussians ~26 MB/step, at a 5M garden end-state ~0.5 GB/step.
+The previous design replicated preprocess on every chip and psum'd the
+full per-Gaussian gradient pytree (~244 B/Gaussian ≈ 1.2 GB/step at 5M)
+with D-times-replicated preprocess compute and optimizer memory.
 
 This is a first-class training mode, not a demo: ``make_sharded_train_step``
 mirrors ``train.step.train_step`` exactly — screen-space tap gradients feed
-the densification statistics (psum'd, since each band sees only part of a
-Gaussian's pixels), radii come from the (replicated, deterministic)
-preprocess, and per-shard binning overflow is surfaced so the host can grow
-the per-shard instance tier (and retry the step — train.trainer).
+the densification statistics (reduced onto shards by the same psum_scatter,
+since each band sees only part of a Gaussian's pixels), radii come from the
+shard's own preprocess, and per-shard binning overflow is surfaced so the
+host can grow the per-shard instance tier (and retry the step —
+train.trainer).
 
 SSIM has an 11x11 window (5-px support); each shard renders one extra tile
 row (16 px >= 5) of halo on each side and averages the SSIM map only over
 its band interior, with out-of-image pixels zeroed to reproduce the
 single-chip zero-padded convolution exactly. The psum'd (L1, SSIM) sums
-divided by the global pixel count equal the single-chip loss, so the
-psum'd gradients equal single-chip gradients.
-
-Gradient-reduction overlap: the per-leaf psums are emitted as separate
-collectives so XLA's latency-hiding scheduler can start all-reducing
-early-finishing leaves (SH features) while the remaining backward band
-work runs; there is no host-side serialization point before the Adam step.
+divided by the global pixel count equal the single-chip loss; the
+differentiated objective is purely local (no collectives inside the
+closure except the all-gather whose transpose IS the reduction), so the
+scattered gradients equal single-chip gradients.
 """
 
 from __future__ import annotations
@@ -48,7 +63,7 @@ from rain_tpu.ops import render as render_ops
 from rain_tpu.ops import tile_render
 from rain_tpu.ops.projection import TILE
 
-AXIS = "tiles"
+AXIS = "shard"
 HALO = 1   # tile rows of halo per side (16 px >= SSIM 5-px support)
 
 
@@ -67,49 +82,6 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (AXIS,))
-
-
-def _render_band(params, alive, camera, band_ty0, xy_tap, *, width, height,
-                 grid_x, grid_y, n_rows, sh_degree, max_instances,
-                 low_pass, bg):
-    """Render tile rows [band_ty0, band_ty0 + n_rows) (may extend past the
-    image; out-of-range rows bin no instances and render empty).
-
-    Returns (color [3, n_rows*16, grid_x*16], radii, num_instances,
-    overflow) — radii are full-image (identical on every shard).
-    """
-    scales, quats, opac, shs = gmod.activate(params)
-    prep = proj_ops.preprocess(
-        params.xyz, scales, quats, opac, shs, alive,
-        sh_degree=sh_degree,
-        world_view=camera["world_view"], full_proj=camera["full_proj"],
-        camera_center=camera["camera_center"],
-        tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
-        width=width, height=height, low_pass=low_pass)
-    radii = prep.radii
-
-    # restrict each rect to this band's rows (dynamic clamp; the full-grid
-    # rect from preprocess is already within [0, grid_y])
-    lo = jnp.maximum(band_ty0, 0)
-    hi = jnp.minimum(band_ty0 + n_rows, grid_y)
-    y0 = jnp.clip(prep.rect_min[:, 1], lo, hi)
-    y1 = jnp.clip(prep.rect_min[:, 1] + prep.rect_wh[:, 1], lo, hi)
-    h = jnp.maximum(y1 - y0, 0)
-    prep = prep._replace(
-        rect_min=prep.rect_min.at[:, 1].set(y0),
-        rect_wh=prep.rect_wh.at[:, 1].set(h),
-        tiles_touched=jnp.where(h > 0, prep.rect_wh[:, 0] * h, 0))
-
-    tiles, num_instances, overflow = render_ops.render_tiles(
-        prep, xy_tap, grid_x=grid_x, grid_y=grid_y,
-        ty0=band_ty0, n_rows=n_rows,
-        max_instances=max_instances)
-
-    img = render_ops.assemble_image(tiles, grid_x, n_rows,
-                                    n_rows * TILE, grid_x * TILE)
-    color = img[..., 0:3] + img[..., tile_render.CH_T:tile_render.CH_T + 1] \
-        * bg[None, None, :]
-    return color.transpose(2, 0, 1), radii, num_instances, overflow
 
 
 def _band_loss_sums(color, gt_band, band_ty0, rows_per_band, *,
@@ -172,23 +144,32 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
                             sh_degree: int, max_instances_per_shard: int,
                             lambda_dssim: float = 0.2,
                             update_densify_stats: bool = True):
-    """Build the multi-chip train step (tile-row sharded).
+    """Build the multi-chip train step (Gaussian-sharded + tile-row
+    sharded, see module docstring).
 
     Returns step(state, opt, camera, gt_image, bg, low_pass, xyz_lr,
     opt_leaves) → (state, opt, ShardedAux), the drop-in counterpart of
-    train.step.train_step. gt_image: [3, H, W].
+    train.step.train_step. gt_image: [3, H, W]. The Gaussian capacity
+    must be divisible by the device count.
     """
     n_dev = mesh.devices.size
+    M = max_instances_per_shard
+    if binning_ops._expand_chunk(M) == 0:
+        raise ValueError(
+            f"max_instances_per_shard={M} has no pow2 chunk divisor "
+            f">= 128 (required by the fused expand path)")
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
     rows_per_band = (grid_y + n_dev - 1) // n_dev
     n_rows = rows_per_band + 2 * HALO
+    n_tiles = n_rows * grid_x
     # gt rows cover tile rows [-HALO, n_dev*rows_per_band + HALO)
     gt_rows = (n_dev * rows_per_band + 2 * HALO) * TILE
 
     def shard_fn(params, alive, camera, gt_pad, bg, low_pass, band_ids):
         band = band_ids[0]
         band_ty0 = band * rows_per_band - HALO
+        toff = (band_ty0 * grid_x).astype(jnp.int32)
         gt_band = jax.lax.dynamic_slice(
             gt_pad, (0, band * rows_per_band * TILE, 0),
             (3, n_rows * TILE, gt_pad.shape[2]))
@@ -196,49 +177,87 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
         n_pix = 3.0 * height * width
 
         def local_loss_fn(p, tap):
-            """PURELY LOCAL objective — no collectives inside the
-            differentiated closure. The global loss is
-            psum(local) + lambda_dssim (the SSIM constant term), so
-            psum'ing the local gradients gives exactly the global-loss
-            gradient. Putting the psum inside the closure instead would
-            scale every gradient by n_dev (lax.psum's transpose is a
-            psum, and first-step Adam's scale invariance masks it)."""
-            color, radii, num_inst, ovf = _render_band(
-                p, alive, camera, band_ty0, tap,
-                width=width, height=height,
-                grid_x=grid_x, grid_y=grid_y, n_rows=n_rows,
+            """PURELY LOCAL objective. The only collective inside the
+            closure is the all-gather of the compact per-Gaussian render
+            streams, whose transpose (psum_scatter) performs exactly the
+            cross-band gradient reduction onto this shard; the loss psum
+            stays OUTSIDE (lax.psum's transpose would scale gradients by
+            n_dev). The global loss is psum(local) + lambda_dssim."""
+            scales, quats, opac, shs = gmod.activate(p)
+            prep = proj_ops.preprocess(
+                p.xyz, scales, quats, opac, shs, alive,
                 sh_degree=sh_degree,
-                max_instances=max_instances_per_shard,
-                low_pass=low_pass, bg=bg)
+                world_view=camera["world_view"],
+                full_proj=camera["full_proj"],
+                camera_center=camera["camera_center"],
+                tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
+                width=width, height=height, low_pass=low_pass)
+            xy = prep.xy + tap
+            table10_sh = jnp.stack([
+                prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                xy[:, 0], xy[:, 1], prep.opacity,
+                prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+                prep.depth], axis=0)                     # [10, cap/D]
+            # compact per-Gaussian streams → full capacity on every chip
+            table10 = jax.lax.all_gather(table10_sh, AXIS, axis=1,
+                                         tiled=True)
+            tiles_full = jax.lax.all_gather(prep.tiles_touched, AXIS,
+                                            axis=0, tiled=True)
+            rmin = jax.lax.all_gather(prep.rect_min, AXIS, axis=0,
+                                      tiled=True)
+            rwh = jax.lax.all_gather(prep.rect_wh, AXIS, axis=0,
+                                     tiled=True)
+            del tiles_full  # band restriction recomputes the count
+            # restrict each rect to this band's rows (the full-grid rect
+            # from preprocess is already within [0, grid_y])
+            lo = jnp.maximum(band_ty0, 0)
+            hi = jnp.minimum(band_ty0 + n_rows, grid_y)
+            y0 = jnp.clip(rmin[:, 1], lo, hi)
+            y1 = jnp.clip(rmin[:, 1] + rwh[:, 1], lo, hi)
+            h = jnp.maximum(y1 - y0, 0)
+            rmin_b = rmin.at[:, 1].set(y0)
+            rwh_b = rwh.at[:, 1].set(h)
+            tiles_b = jnp.where(h > 0, rwh[:, 0] * h, 0)
+
+            pack, num_inst, ovf = binning_ops.sorted_pack(
+                table10, tiles_b, rmin_b, rwh_b, toff, grid_x, n_tiles, M)
+            tile_start, tile_end = binning_ops.tile_ranges(
+                rmin_b, rwh_b, tiles_b > 0, grid_x, n_tiles, toff, M)
+            tiles_img = tile_render.composite(
+                pack, tile_start, tile_end, toff[None], grid_x)
+            img = render_ops.assemble_image(
+                tiles_img, grid_x, n_rows, n_rows * TILE, grid_x * TILE)
+            color = (img[..., 0:3] +
+                     img[..., tile_render.CH_T:tile_render.CH_T + 1] *
+                     bg[None, None, :]).transpose(2, 0, 1)
             l1_sum, ssim_sum = _band_loss_sums(
                 color, gt_band, band_ty0, rows_per_band,
                 width=width, height=height)
             local = ((1.0 - lambda_dssim) * l1_sum -
                      lambda_dssim * ssim_sum) / n_pix
-            return local, (l1_sum, radii, num_inst, ovf)
+            return local, (l1_sum, prep.radii, num_inst, ovf)
 
-        cap = params.xyz.shape[0]
-        tap0 = jnp.zeros((cap, 2), jnp.float32)
-        (local, (l1_sum, radii, num_inst, ovf)), (grads, tap_grad) = \
-            jax.value_and_grad(local_loss_fn, argnums=(0, 1),
-                               has_aux=True)(params, tap0)
+        cap_sh = params.xyz.shape[0]
+        tap0 = jnp.zeros((cap_sh, 2), jnp.float32)
+        (local, (l1_sum, radii_sh, num_inst, ovf)), \
+            (grads_sh, tap_grad_sh) = jax.value_and_grad(
+                local_loss_fn, argnums=(0, 1), has_aux=True)(params, tap0)
+        # grads_sh / tap_grad_sh are ALREADY the full cross-band
+        # reductions for this shard (all_gather transpose) — no psum.
         loss = jax.lax.psum(local, AXIS) + lambda_dssim
         l1 = jax.lax.psum(l1_sum, AXIS) / n_pix
-        # each shard's autodiff sees only its band's compute; summing
-        # completes the gradient of the global loss w.r.t. the replicated
-        # parameters (ICI all-reduce — the cross-chip atomicAdd analogue).
-        # The screen-space tap gradient is summed for the same reason
-        # (densification stats need the full-image screen gradient).
-        grads = jax.lax.psum(grads, AXIS)
-        tap_grad = jax.lax.psum(tap_grad, AXIS)
         # per-shard load/overflow → values that matter vs the shard tier
         num_inst = jax.lax.pmax(num_inst, AXIS)
         ovf = jax.lax.psum(ovf.astype(jnp.int32), AXIS) > 0
-        return loss, l1, grads, tap_grad, radii, num_inst, ovf
+        return loss, l1, grads_sh, tap_grad_sh, radii_sh, num_inst, ovf
 
     @jax.jit
     def step(state: gmod.GaussianState, opt: adam_mod.AdamState,
              camera, gt_image, bg, low_pass, xyz_lr, opt_leaves):
+        cap = state.params.xyz.shape[0]
+        if cap % n_dev:
+            raise ValueError(f"capacity {cap} not divisible by "
+                             f"{n_dev} devices")
         gt_pad = jnp.zeros((3, gt_rows, grid_x * TILE), jnp.float32)
         gt_pad = jax.lax.dynamic_update_slice(
             gt_pad, gt_image, (0, HALO * TILE, 0))
@@ -247,13 +266,17 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
 
         sharded = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(PS(), PS(), PS(), PS(), PS(), PS(), PS(AXIS)),
-            out_specs=(PS(), PS(), PS(), PS(), PS(), PS(), PS()),
+            in_specs=(PS(AXIS), PS(AXIS), PS(), PS(), PS(), PS(),
+                      PS(AXIS)),
+            out_specs=(PS(), PS(), PS(AXIS), PS(AXIS), PS(AXIS), PS(),
+                       PS()),
             check_vma=False,   # pallas_call outputs carry no vma info
         )
         loss, l1, grads, tap_grad, radii, num_inst, ovf = sharded(
             state.params, alive, camera, gt_pad, bg, low_pass, band_ids)
 
+        # everything below is elementwise over the (sharded) capacity
+        # axis — GSPMD keeps it sharded with zero collectives (ZeRO)
         if update_densify_stats:
             state = densify_mod.add_densification_stats(
                 state, tap_grad, radii, width, height)

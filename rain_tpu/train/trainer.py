@@ -9,8 +9,9 @@ overflow, instance-buffer tier growth with step retry on overflow (the
 reference resizes its binning buffers exactly and never trains on
 truncated data, rasterize_points.cu:16-22 — we match that contract by
 discarding any overflowed step and re-running it at the grown tier), and
-multi-chip tile-row-sharded training (``system.devices > 1``,
-parallel.sharding) with psum'd gradients + densification stats.
+multi-chip training (``system.devices > 1``, parallel.sharding):
+Gaussian-sharded preprocess/optimizer + tile-row-sharded rasterization
+with reduce-scattered gradients and densification stats.
 """
 
 from __future__ import annotations
@@ -68,14 +69,18 @@ class Trainer:
         self.spatial_lr_scale = scene.nerf_radius
 
         n0 = scene.points.shape[0]
+        # devices: 1 = single chip; N > 1 = Gaussian+tile-row-sharded
+        # training over an N-device mesh (parallel.sharding); 0 = all
+        # local devices.
+        self.n_devices = self.system.devices or len(jax.devices())
         cap = self.system.capacity or max(_round_up(n0 * 2, 4096), 16384)
+        if self.n_devices > 1:
+            # the sharded step splits the capacity axis across devices
+            cap = _round_up(cap, self.n_devices)
         self.state = gmod.create_from_pcd(
             scene.points, scene.colors, sh_degree=self.model.sh_degree,
             capacity=cap)
         self.opt_state = adam_mod.init(self.state.params)
-        # devices: 1 = single chip; N > 1 = tile-row-sharded training over
-        # an N-device mesh (parallel.sharding); 0 = all local devices.
-        self.n_devices = self.system.devices or len(jax.devices())
         self._sharded_steps = {}
         # per-shard instance tier in sharded mode: each shard bins only
         # its band, so it needs ~1/n of the global instances (plus slack
@@ -144,6 +149,8 @@ class Trainer:
         cap = self.state.capacity
         if force or n > 0.6 * cap:
             new_cap = _round_up(cap * 2, 4096)
+            if self.n_devices > 1:
+                new_cap = _round_up(new_cap, self.n_devices)
             self.log(f"[cap] growing capacity {cap} -> {new_cap} "
                      f"(alive {n})")
             self.state = gmod.grow_capacity(self.state, new_cap)

@@ -1,16 +1,27 @@
-"""Benchmark: full train-step throughput on a garden-proxy synthetic scene.
+"""Benchmark: full train-step throughput across garden population tiers.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "tiers"}.
 
 Configuration mirrors Mip-NeRF-360 'garden' at images_4 resolution
-(1297x840 → padded tile grid 82x53) with a mid-training-scale Gaussian
-population. The step is the real production path: differentiable
-preprocess → binning sort → Pallas tile compositor fwd/bwd → Adam update.
+(1297x840 → padded tile grid 82x53) at three Gaussian-population tiers
+spanning the whole training trajectory:
 
-vs_baseline anchor: the reference CUDA pipeline (diff_gaussian_rasterization
-on an NVIDIA A6000, the hardware named in the reference README) sustains
-roughly 10 train iters/s on garden at this population — the repo publishes
-no numbers (BASELINE.md), so this external anchor is used as 1.0.
+  262k (mid-training, ~0.6M instances, 2^20 instance tier)   ← headline
+  1m   (late-training, ~1.6M instances, 2^21 tier)
+  4m   (end-state,     ~5.4M instances, 2^23 tier — the scale the CUDA
+        reference reaches on garden, rasterizer_impl.cu:269-310 sizing
+        its buffers to num_rendered)
+
+Each tier's instance capacity is the one the Trainer's overflow-doubling
+logic settles on (trainer._grow_instances). The step is the real
+production path: differentiable preprocess → fused expand + payload sort
+→ Pallas tile compositor fwd/bwd → MXU gradient reduction → Adam update.
+
+vs_baseline anchor: the reference CUDA pipeline (diff_gaussian_
+rasterization on an NVIDIA A6000, the hardware named in the reference
+README) sustains roughly 10 train iters/s on garden at mid-training
+population — the repo publishes no numbers (BASELINE.md), so this
+external anchor is used as 1.0 for the headline tier.
 """
 
 import json
@@ -24,24 +35,24 @@ import numpy as np  # noqa: E402
 
 BASELINE_ITERS_PER_S = 10.0
 
+# name → (n_gaussians, max_instances, log_scale, timed_iters)
+TIERS = {
+    "262k": (262_144, 1 << 20, -4.5, 20),
+    "1m": (1 << 20, 1 << 21, -5.2, 10),
+    "4m": (1 << 22, 1 << 23, -5.9, 5),
+}
 
-def main():
-    from rain_tpu.cache import enable_compile_cache
-    enable_compile_cache()
+
+def run_tier(n, max_instances, log_scale, iters):
     import jax
     import jax.numpy as jnp
     from rain_tpu.data.cameras import Camera
     from rain_tpu.model import adam as adam_mod
     from rain_tpu.model import gaussians as gmod
+    from rain_tpu.ops.sh import rgb_to_sh_dc
     from rain_tpu.train import step as step_mod
 
     width, height = 1297, 840
-    n = 262_144
-    cap = n
-    # the instance-buffer tier the Trainer's overflow-doubling logic
-    # settles on for this scene's ~613k instances (trainer.py:_grow_instances)
-    max_instances = 1_048_576
-
     rng = np.random.default_rng(0)
     pts = np.concatenate([
         rng.uniform(-3, 3, (n, 2)), rng.uniform(2.0, 12.0, (n, 1))],
@@ -50,13 +61,12 @@ def main():
 
     # build the state directly (fixed log-scales) — the benchmark measures
     # train-step throughput, not point-cloud init
-    from rain_tpu.ops.sh import rgb_to_sh_dc
     state = gmod.from_arrays(
         xyz=pts, f_dc=rgb_to_sh_dc(cols)[:, None, :],
         f_rest=np.zeros((n, 15, 3), np.float32),
-        scaling=np.full((n, 3), -4.5, np.float32),
+        scaling=np.full((n, 3), log_scale, np.float32),
         rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
-        opacity=np.full((n, 1), -1.0, np.float32), capacity=cap)
+        opacity=np.full((n, 1), -1.0, np.float32), capacity=n)
     opt = adam_mod.init(state.params)
     cam = Camera(uid=0, image_name="bench", R=np.eye(3), T=np.zeros(3),
                  fovx=1.0, fovy=0.7, image=None, width=width, height=height)
@@ -74,28 +84,44 @@ def main():
             max_instances=max_instances, opt_cfg_leaves=opt_leaves,
             update_densify_stats=True)
 
-    # absorb the one-time first-device-to-host-fetch latency of the
-    # harness tunnel before timing anything
-    _ = float(jnp.zeros(()).block_until_ready())
-
     # compile + warmup
     state, opt, aux = one(state, opt)
     jax.block_until_ready(state.params.xyz)
+    num_instances = int(aux.num_instances)
 
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, opt, aux = one(state, opt)
     jax.block_until_ready(state.params.xyz)
     dt = time.perf_counter() - t0
+    return iters / dt, num_instances
 
-    iters_per_s = iters / dt
+
+def main():
+    from rain_tpu.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax.numpy as jnp
+
+    # absorb the one-time first-device-to-host-fetch latency of the
+    # harness tunnel before timing anything
+    _ = float(jnp.zeros(()).block_until_ready())
+
+    tiers = {}
+    for name, (n, m, log_scale, iters) in TIERS.items():
+        ips, ninst = run_tier(n, m, log_scale, iters)
+        tiers[name] = {"gaussians": n, "max_instances": m,
+                       "instances": ninst,
+                       "iters_per_s": round(ips, 3)}
+
+    headline = tiers["262k"]["iters_per_s"]
     print(json.dumps({
         "metric": ("garden-proxy train step (262k gaussians, 1297x840, "
-                   "fwd+bwd+adam, 1 chip)"),
-        "value": round(iters_per_s, 3),
+                   "fwd+bwd+adam, 1 chip; tiers key = 262k/1m/4m "
+                   "populations)"),
+        "value": headline,
         "unit": "iters/s",
-        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 3),
+        "vs_baseline": round(headline / BASELINE_ITERS_PER_S, 3),
+        "tiers": tiers,
     }))
 
 

@@ -35,8 +35,11 @@ def initialize_from_env(log_fn=print) -> bool:
     coord = os.environ.get("RAIN_TPU_COORDINATOR")
     if not coord:
         return False
-    if jax.process_count() > 1:     # already initialized
-        return True
+    # NOTE: jax.process_count() would INITIALIZE the backend, after which
+    # jax.distributed.initialize() refuses to run — probe the distributed
+    # client state instead.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coord == "auto":
         jax.distributed.initialize()
     else:

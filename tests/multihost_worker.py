@@ -12,6 +12,9 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 
 def main():
     port, pid, out_json = sys.argv[1], int(sys.argv[2]), sys.argv[3]
@@ -81,7 +84,7 @@ def main():
 
     step = sharding.make_sharded_train_step(
         mesh, width=width, height=height, sh_degree=3,
-        max_instances_per_shard=2048)
+        max_instances_per_shard=8192)
     losses = []
     for _ in range(3):
         state, opt, aux = step(state, opt, camera, gt, bg, low_pass,

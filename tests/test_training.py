@@ -107,3 +107,21 @@ def test_trainer_resume(toy_scene, tmp_path):
     trainer2.train(iterations=20, test_iterations=(), save_iterations=(),
                    start_checkpoint=str(ck))
     assert trainer2.iteration == 20
+
+
+def test_trainer_profile_steps(toy_scene, tmp_path):
+    """--profile_steps A-B captures a jax.profiler trace (SURVEY §5-A:
+    the TPU-rich counterpart of the reference's iter_time-only timing)."""
+    import dataclasses
+    parser = cfg_mod.build_parser("t")
+    cfgs = cfg_mod.extract_all(parser.parse_args([]))
+    cfgs["opt"] = dataclasses.replace(cfgs["opt"], iterations=4,
+                                      densify_from_iter=10_000)
+    cfgs["system"] = dataclasses.replace(
+        cfgs["system"], capacity=256, max_instances=4096,
+        profile_steps="2-3")
+    trainer = Trainer(toy_scene, cfgs, str(tmp_path / "prof"),
+                      log_fn=lambda *a: None, tensorboard=False)
+    trainer.train(iterations=4, test_iterations=(), save_iterations=())
+    traces = list((tmp_path / "prof" / "profile").rglob("*.xplane.pb"))
+    assert traces, "no xplane trace captured"

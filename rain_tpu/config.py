@@ -130,6 +130,10 @@ class SystemParams:
     #   over iterations [A, B] to <model_path>/profile/ (the TPU-rich
     #   counterpart of the reference's iter_time-only timing,
     #   train.py:47-48,183)
+    pipeline: int = 1              # 1: verify each step's overflow/NaN
+    #   flags one step late, hiding the device-to-host round trip behind
+    #   the next step's compute (rolls back + replays on a late
+    #   overflow); 0: synchronous per-step verification
 
     SHORTHANDS = frozenset()
 

@@ -21,6 +21,7 @@ import json
 import random
 import time
 from pathlib import Path
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,26 @@ from rain_tpu.train import step as step_mod
 
 def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
+
+
+class _Verified(NamedTuple):
+    """Host-side scalar results of a verified train step."""
+    loss: float
+    l1: float
+    num_instances: int
+    instance_overflow: bool
+    n_alive: int
+
+
+@jax.jit
+def _pack_flags(aux):
+    """[5] f32 device vector so one fetch verifies a whole step."""
+    return jnp.stack([
+        aux.loss.astype(jnp.float32),
+        aux.instance_overflow.astype(jnp.float32),
+        aux.num_instances.astype(jnp.float32),
+        aux.l1.astype(jnp.float32),
+        aux.n_alive.astype(jnp.float32)])
 
 
 class Trainer:
@@ -108,6 +129,9 @@ class Trainer:
         self.iteration = 0
         self.low_pass = 0.3
         self.ema_loss = 0.0
+        # one-step-lag verification pipeline (see _enqueue_step)
+        self._pending = None
+        self._last_verified = None
         self._viewpoint_stack = []
         self._rng = random.Random(0)
         self._key = jax.random.key(self.system.seed)
@@ -189,50 +213,126 @@ class Trainer:
                 update_densify_stats=update_stats)
         return self._sharded_steps[key]
 
-    def _run_step(self, cam, cam_arrays, gt, bg, xyz_lr, sh_deg,
-                  opt_leaves, update_stats):
-        """Run one train step; on instance-buffer overflow, DISCARD the
-        truncated update, grow the tier, and re-run the same step from
-        the pre-step state (the reference's exact-resize contract:
-        rasterize_points.cu:16-22 — it never trains on truncated data)."""
-        low_pass = jnp.asarray(self.low_pass, jnp.float32)
-        xyz_lr = jnp.asarray(xyz_lr, jnp.float32)
-        while True:
-            if self.n_devices > 1:
-                step = self._get_sharded_step(cam.width, cam.height,
-                                              sh_deg, update_stats)
-                state, opt, aux = step(
-                    self.state, self.opt_state, cam_arrays, gt, bg,
-                    low_pass, xyz_lr, opt_leaves)
-            else:
-                state, opt, aux = step_mod.train_step(
-                    self.state, self.opt_state, cam_arrays, gt, bg,
-                    low_pass, xyz_lr,
-                    width=cam.width, height=cam.height, sh_degree=sh_deg,
-                    max_instances=self.max_instances,
-                    opt_cfg_leaves=opt_leaves,
-                    lambda_dssim=self.opt_cfg.lambda_dssim,
-                    update_densify_stats=update_stats)
-            if not bool(aux.instance_overflow):
-                # immediate failure detection (reference dgr/__init__.py:
-                # 73-80 dumps state the moment a kernel throws): the
-                # overflow fetch above already paid the host sync, so
-                # checking loss finiteness every step costs nothing extra
-                if not np.isfinite(float(aux.loss)):
-                    dump = (self.model_path /
-                            f"snapshot_iter{self.iteration}.npz")
-                    ckpt.save_checkpoint(dump, self.state, self.opt_state,
-                                         self.iteration,
-                                         self.spatial_lr_scale)
-                    raise FloatingPointError(
-                        f"non-finite loss at iteration {self.iteration}; "
-                        f"pre-step state dumped to {dump}")
-                self.state, self.opt_state = state, opt
-                return aux
-            self.log(f"[cap] instance overflow at iter {self.iteration} "
-                     f"({int(aux.num_instances)} > {self.max_instances}) "
-                     f"— discarding step and retrying at a larger tier")
+    def _dispatch(self, args):
+        """Dispatch one train step (no host sync). Returns (state, opt,
+        flags) with flags a [5] device array [loss, overflow,
+        num_instances, l1, n_alive] so verification costs ONE
+        device-to-host fetch (each fetch is a full round trip — tens of
+        ms on remote-attached chips)."""
+        (cam, cam_arrays, gt, bg, low_pass, xyz_lr, sh_deg, opt_leaves,
+         update_stats) = args
+        lp = jnp.asarray(low_pass, jnp.float32)
+        lr = jnp.asarray(xyz_lr, jnp.float32)
+        if self.n_devices > 1:
+            step = self._get_sharded_step(cam.width, cam.height,
+                                          sh_deg, update_stats)
+            state, opt, aux = step(
+                self.state, self.opt_state, cam_arrays, gt, bg,
+                lp, lr, opt_leaves)
+        else:
+            state, opt, aux = step_mod.train_step(
+                self.state, self.opt_state, cam_arrays, gt, bg,
+                lp, lr,
+                width=cam.width, height=cam.height, sh_degree=sh_deg,
+                max_instances=self.max_instances,
+                opt_cfg_leaves=opt_leaves,
+                lambda_dssim=self.opt_cfg.lambda_dssim,
+                update_densify_stats=update_stats)
+        return state, opt, _pack_flags(aux)
+
+    def _enqueue_step(self, args):
+        """Pipelined step: dispatch this iteration's step, then verify
+        the PREVIOUS in-flight step while this one runs on the device —
+        the verification fetch's round-trip hides behind compute instead
+        of idling the chip. Exactly one step is ever unverified, and its
+        pre-state is retained (the same two state generations JAX keeps
+        anyway), so an overflow/NaN discovered one step late rolls back
+        and replays both steps — training never proceeds from truncated
+        or non-finite data (the reference's exact-resize contract,
+        rasterize_points.cu:16-22)."""
+        prev = (self.state, self.opt_state)
+        state, opt, flags = self._dispatch(args)
+        self.state, self.opt_state = state, opt
+        new_p = (self.iteration, flags, prev, args)
+        old_p = self._pending
+        self._pending = new_p
+        if old_p is not None:
+            self._verify(old_p, refire=True)
+        if not self.system.pipeline:
+            return self.flush_pending()
+        return None
+
+    def _verify(self, pending, refire=False):
+        """Blocking verification of an in-flight step (one fetch). On
+        overflow: roll back to its pre-state, grow the tier, re-run it
+        synchronously, and (refire) re-dispatch the newer in-flight step
+        whose input was the discarded state. On non-finite loss: dump
+        the pre-step state and abort (reference dgr/__init__.py:73-80).
+        Returns the verified scalar values."""
+        iteration, flags, (prev_state, prev_opt), args = pending
+        loss, ovf, ninst, l1, n_alive = [float(v) for v in np.asarray(flags)]
+        if ovf > 0.0:
+            later = self._pending if refire and \
+                self._pending is not pending else None
+            self.log(f"[cap] instance overflow at iter {iteration} "
+                     f"({int(ninst)} > {self.max_instances}) — discarding "
+                     f"step(s) and retrying at a larger tier")
+            self.state, self.opt_state = prev_state, prev_opt
+            self._pending = None
             self._grow_instances()
+            verified = self._run_step_sync(args, iteration)
+            if later is not None:
+                l_iter, _, _, l_args = later
+                prev = (self.state, self.opt_state)
+                state, opt, lflags = self._dispatch(l_args)
+                self.state, self.opt_state = state, opt
+                self._pending = (l_iter, lflags, prev, l_args)
+            return verified
+        if not np.isfinite(loss):
+            dump = self.model_path / f"snapshot_iter{iteration}.npz"
+            ckpt.save_checkpoint(dump, prev_state, prev_opt,
+                                 iteration, self.spatial_lr_scale)
+            raise FloatingPointError(
+                f"non-finite loss at iteration {iteration}; "
+                f"pre-step state dumped to {dump}")
+        return _Verified(loss=loss, l1=l1, num_instances=int(ninst),
+                         instance_overflow=False, n_alive=int(n_alive))
+
+    def _run_step_sync(self, args, iteration):
+        """Synchronous verified step with the overflow-retry loop (the
+        reference's exact-resize contract — never train on truncated
+        data)."""
+        while True:
+            prev_state, prev_opt = self.state, self.opt_state
+            state, opt, flags = self._dispatch(args)
+            loss, ovf, ninst, l1, n_alive = [
+                float(v) for v in np.asarray(flags)]
+            if ovf > 0.0:
+                self.log(f"[cap] instance overflow at iter {iteration} "
+                         f"({int(ninst)} > {self.max_instances}) — "
+                         f"discarding step and retrying at a larger tier")
+                self._grow_instances()
+                continue
+            if not np.isfinite(loss):
+                dump = self.model_path / f"snapshot_iter{iteration}.npz"
+                ckpt.save_checkpoint(dump, prev_state, prev_opt,
+                                     iteration, self.spatial_lr_scale)
+                raise FloatingPointError(
+                    f"non-finite loss at iteration {iteration}; "
+                    f"pre-step state dumped to {dump}")
+            self.state, self.opt_state = state, opt
+            return _Verified(loss=loss, l1=l1, num_instances=int(ninst),
+                             instance_overflow=False, n_alive=int(n_alive))
+
+    def flush_pending(self):
+        """Verify the in-flight step now (used before any state
+        mutation, logging, eval, or checkpointing)."""
+        if self._pending is None:
+            return self._last_verified
+        p, self._pending = self._pending, None
+        v = self._verify(p, refire=False)
+        self._last_verified = v
+        return v
 
     # -- the loop ----------------------------------------------------------
     def train(self, iterations=None, *, test_iterations=(7000, 30000),
@@ -261,6 +361,7 @@ class Trainer:
             self.iteration = iteration
             self._profile_tick(iteration)
             if self.viewer is not None:
+                self.flush_pending()   # viewer renders committed state
                 self._poll_viewer(iteration >= iterations)
             cam = self._next_camera()
             cam_arrays, gt = self._camera_bundle(cam)
@@ -288,8 +389,8 @@ class Trainer:
                 bg = jax.random.uniform(sub, (3,))
 
             in_densify = iteration < self.densify_until
-            aux = self._run_step(cam, cam_arrays, gt, bg, xyz_lr, sh_deg,
-                                 opt_leaves, in_densify)
+            self._enqueue_step((cam, cam_arrays, gt, bg, self.low_pass,
+                                xyz_lr, sh_deg, opt_leaves, in_densify))
             if self.tb is not None:   # train.py:183 (per-iteration timing)
                 self.tb.add_scalar("iter_time",
                                    (time.time() - t_iter0) * 1000.0,
@@ -298,6 +399,7 @@ class Trainer:
             # densification cadence (train.py:132-143)
             if in_densify and iteration > opt_cfg.densify_from_iter and \
                     iteration % opt_cfg.densification_interval == 0:
+                self.flush_pending()   # densify mutates verified state
                 self._maybe_grow()
                 use_size = iteration > opt_cfg.opacity_reset_interval
                 abe = iteration <= self.rain.warmup_iter
@@ -320,40 +422,45 @@ class Trainer:
                     iteration % opt_cfg.opacity_reset_interval == 0 or
                     (self.model.white_background and
                      iteration == opt_cfg.densify_from_iter)):
+                self.flush_pending()
                 self.state, self.opt_state = densify_mod.reset_opacity(
                     self.state, self.opt_state)
 
             if iteration % self.system.log_every == 0 or \
                     iteration == iterations:
-                # finiteness already verified per step in _run_step
-                loss = float(aux.loss)
+                aux = self.flush_pending()
+                loss = aux.loss
                 self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
                 if self.tb is not None:
                     self.tb.add_scalar("train_loss_patches/l1_loss",
-                                       float(aux.l1), iteration)
+                                       aux.l1, iteration)
                     self.tb.add_scalar("train_loss_patches/total_loss",
                                        loss, iteration)
                     self.tb.add_scalar("total_points",
-                                       int(aux.n_alive), iteration)
+                                       aux.n_alive, iteration)
                 if iteration % (self.system.log_every * 10) == 0 or \
                         iteration == iterations:
                     dt = time.time() - t_start
                     self.log(f"[{iteration}] loss {self.ema_loss:.5f} "
-                             f"gaussians {int(aux.n_alive)} "
+                             f"gaussians {aux.n_alive} "
                              f"it/s {iteration / max(dt, 1e-9):.2f}")
 
             if iteration in test_iterations:
+                self.flush_pending()
                 self.report(iteration)
             if iteration in save_iterations and self.is_proc0:
+                self.flush_pending()
                 path = (self.model_path / "point_cloud" /
                         f"iteration_{iteration}" / "point_cloud.ply")
                 ckpt.save_ply_snapshot(path, self.state)
                 self.log(f"[{iteration}] saved {path}")
             if iteration in checkpoint_iterations and self.is_proc0:
+                self.flush_pending()
                 path = self.model_path / f"chkpnt{iteration}.npz"
                 ckpt.save_checkpoint(path, self.state, self.opt_state,
                                      iteration, self.spatial_lr_scale)
                 self.log(f"[{iteration}] checkpoint {path}")
+        self.flush_pending()
         self._profile_tick(iterations + 1)   # close a still-open trace
         return self.state
 

@@ -125,3 +125,37 @@ def test_trainer_profile_steps(toy_scene, tmp_path):
     trainer.train(iterations=4, test_iterations=(), save_iterations=())
     traces = list((tmp_path / "prof" / "profile").rglob("*.xplane.pb"))
     assert traces, "no xplane trace captured"
+
+
+def test_pipelined_verification_matches_sync(toy_scene, tmp_path):
+    """system.pipeline=1 (one-step-lag overflow/NaN verification with
+    rollback+replay) must produce bit-identical training to synchronous
+    per-step verification — including across an instance-tier overflow
+    retry (max_instances starts deliberately too small)."""
+    import dataclasses
+
+    def run(pipeline, out):
+        parser = cfg_mod.build_parser("t")
+        cfgs = cfg_mod.extract_all(parser.parse_args([]))
+        cfgs["opt"] = dataclasses.replace(
+            cfgs["opt"], iterations=12, densify_from_iter=4,
+            densification_interval=6, densify_until_iter=40,
+            opacity_reset_interval=10_000)
+        cfgs["system"] = dataclasses.replace(
+            cfgs["system"], capacity=512, max_instances=512,
+            pipeline=pipeline, log_every=5)
+        tr = Trainer(toy_scene, cfgs, str(tmp_path / out),
+                     log_fn=lambda *a: None, tensorboard=False)
+        tr.train(iterations=12, test_iterations=(), save_iterations=())
+        return tr
+
+    t_sync = run(0, "sync")
+    t_pipe = run(1, "pipe")
+    # the too-small tier must actually have forced growth
+    assert t_sync.max_instances > 512
+    assert t_pipe.max_instances == t_sync.max_instances
+    assert int(t_pipe.state.n_alive) == int(t_sync.state.n_alive)
+    for name, a, b in zip(t_pipe.state.params._fields,
+                          t_pipe.state.params, t_sync.state.params):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

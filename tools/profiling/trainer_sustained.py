@@ -61,7 +61,6 @@ def main():
                       tensorboard=False)
     # bench-comparable splat sizes (create_from_pcd's knn scales on this
     # uniform cloud produce ~10x the bench scene's instance count)
-    from rain_tpu.model import gaussians as gmod
     import jax.numpy as jnp
     trainer.state = trainer.state._replace(params=trainer.state.params._replace(
         scaling=jnp.full((n, 3), -4.5, jnp.float32)))

@@ -141,8 +141,17 @@ def load_colmap_scene(source_path, *, images_dir="images", eval_split=True,
     norm = nerfpp_norm(train_cams)
 
     if render_only:
-        pts, colors, _ = ply_io.read_point_cloud(result_ply or
-                                                 source / "result.ply")
+        # the reference tolerates a result.ply that is not a color point
+        # cloud (e.g. a trained-Gaussian PLY): fetchPly is wrapped in
+        # try/except and the pcd is unused by the render flow
+        # (dataset_readers.py:215-220 — the model itself is loaded from
+        # the model dir's point_cloud snapshot)
+        try:
+            pts, colors, _ = ply_io.read_point_cloud(
+                result_ply or source / "result.ply")
+        except Exception:
+            pts = np.zeros((0, 3), np.float32)
+            colors = np.zeros((0, 3), np.float32)
         return SceneData(train_cams, test_cams, pts, colors,
                          norm["radius"], norm["translate"])
 

@@ -314,3 +314,87 @@ def test_train_cli_resume_from_checkpoint(colmap_scene, tmp_path):
                            "--start_checkpoint", str(ckpt)])
     assert (model_path / "point_cloud" / "iteration_15" /
             "point_cloud.ply").exists()
+
+
+# ---------------------------------------------------------------------------
+# text-format COLMAP sparse models + the render_only flow
+# ---------------------------------------------------------------------------
+
+def _binary_to_text_sparse(root: Path, out: Path):
+    """Rewrite the binary sparse model as the COLMAP text format."""
+    from rain_tpu.data import colmap
+    sparse = root / "sparse" / "0"
+    out.mkdir(parents=True)
+    cams = colmap.read_cameras_binary(sparse / "cameras.bin")
+    lines = []
+    for c in cams.values():
+        lines.append(f"{c.id} {c.model} {c.width} {c.height} " +
+                     " ".join(str(p) for p in c.params))
+    (out / "cameras.txt").write_text("\n".join(lines) + "\n")
+    imgs = colmap.read_images_binary(sparse / "images.bin")
+    lines = []
+    for im in imgs.values():
+        q = " ".join(repr(float(v)) for v in im.qvec)
+        t = " ".join(repr(float(v)) for v in im.tvec)
+        lines.append(f"{im.id} {q} {t} {im.camera_id} {im.name}")
+        lines.append("")      # empty 2D-point list line
+    (out / "images.txt").write_text("\n".join(lines) + "\n")
+    xyz, rgb, err = colmap._read_points3d_binary_py(sparse / "points3D.bin")
+    lines = []
+    for i in range(len(xyz)):
+        lines.append(f"{i} {float(xyz[i,0])!r} {float(xyz[i,1])!r} {float(xyz[i,2])!r} "
+                     f"{int(rgb[i,0])} {int(rgb[i,1])} {int(rgb[i,2])} "
+                     f"{float(err[i,0])!r}")
+    (out / "points3D.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_colmap_text_format_matches_binary(colmap_scene, tmp_path):
+    """Text-format sparse models load identically to binary
+    (colmap_loader text variants, scene/colmap_loader.py)."""
+    import shutil
+    root, xyz, rgb, err = colmap_scene
+    troot = tmp_path / "text_scene"
+    _binary_to_text_sparse(root, troot / "sparse" / "0")
+    shutil.copytree(root / "images", troot / "images")
+
+    sb = dataset_mod.load_scene(str(root), num_cams=3,
+                                rain_cfg=cfg_mod.RainParams(),
+                                load_images=False)
+    st = dataset_mod.load_scene(str(troot), num_cams=3,
+                                rain_cfg=cfg_mod.RainParams(),
+                                load_images=False)
+    assert len(st.train_cameras) == len(sb.train_cameras)
+    np.testing.assert_allclose(st.points, sb.points, rtol=1e-12)
+    np.testing.assert_allclose(st.colors, sb.colors, atol=1e-12)
+    for ca, cb in zip(st.train_cameras, sb.train_cameras):
+        np.testing.assert_allclose(ca.R, cb.R, atol=1e-12)
+        np.testing.assert_allclose(ca.T, cb.T, atol=1e-12)
+        assert ca.fovx == pytest.approx(cb.fovx)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_render_only_from_result_ply(colmap_scene, tmp_path):
+    """--render_only loads result.ply from the scene dir instead of the
+    init point cloud (reference render.py:78, dataset_readers.py:215)."""
+    import shutil
+    root, *_ = colmap_scene
+    model_path = tmp_path / "model_ro"
+    from rain_tpu.scripts import train as train_cli
+    from rain_tpu.scripts import render as render_cli
+    train_cli.main([
+        "-s", str(root), "--model_path", str(model_path),
+        "--iterations", "5", "--test_iterations", "-1",
+        "--save_iterations", "5", "--num_cams", "3",
+        "--capacity", "1024", "--max_instances", "16384",
+        "--resolution", "1", "--quiet"])
+    # a scene dir whose result.ply is the trained model
+    ro_scene = tmp_path / "ro_scene"
+    shutil.copytree(root, ro_scene)
+    shutil.copy(model_path / "point_cloud" / "iteration_5" /
+                "point_cloud.ply", ro_scene / "result.ply")
+    render_cli.main(["--model_path", str(model_path), "-s", str(ro_scene),
+                     "--render_only", "--num_cams", "3",
+                     "--resolution", "1"])
+    # render_only keeps every camera in the train split
+    renders = list((model_path / "train" / "ours_5" / "renders").iterdir())
+    assert len(renders) == N_CAMS

@@ -18,7 +18,9 @@ Architecture (TPU-first, not a port):
   train/     — schedules (expon LR, c2f low-pass, SH degree), the jitted
                train step, the Trainer driver, checkpointing.
   parallel/  — mesh construction and the shard_map multi-chip train step
-               (tile-row sharding + psum of per-Gaussian grads).
+               (ZeRO-style Gaussian-sharded preprocess/optimizer +
+               tile-row-sharded rasterization with reduce-scattered
+               gradients), multi-host bring-up via jax.distributed.
   eval/      — PSNR/SSIM/LPIPS metrics and eval loops.
 """
 

@@ -51,9 +51,13 @@ def main():
 
     parser = cfg_mod.build_parser("t")
     cfgs = cfg_mod.extract_all(parser.parse_args([]))
-    # densify off: measure steady-state step rate, not re-jit boundaries
+    # densify off by default: measure steady-state step rate, not re-jit
+    # boundaries; SUSTAINED_DENSIFY=1 runs the full production schedule
+    # (tier growth + recompiles included in the reported rate)
+    densify_from = 500 if os.environ.get("SUSTAINED_DENSIFY") == "1" \
+        else 10 ** 9
     cfgs["opt"] = dataclasses.replace(cfgs["opt"], iterations=iters,
-                                      densify_from_iter=10 ** 9)
+                                      densify_from_iter=densify_from)
     cfgs["system"] = dataclasses.replace(
         cfgs["system"], capacity=n, max_instances=1 << 20, log_every=50,
         pipeline=pipeline)

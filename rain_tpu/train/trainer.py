@@ -8,10 +8,13 @@ proactive capacity growth (a re-jit boundary) before densification can
 overflow, instance-buffer tier growth with step retry on overflow (the
 reference resizes its binning buffers exactly and never trains on
 truncated data, rasterize_points.cu:16-22 — we match that contract by
-discarding any overflowed step and re-running it at the grown tier), and
-multi-chip training (``system.devices > 1``, parallel.sharding):
-Gaussian-sharded preprocess/optimizer + tile-row-sharded rasterization
-with reduce-scattered gradients and densification stats.
+discarding any overflowed step and re-running it at the grown tier),
+pipelined step verification (the overflow/NaN flags of each step are
+fetched one step late so the device-to-host round trip hides behind the
+next step's compute — see _enqueue_step), and multi-chip training
+(``system.devices > 1``, parallel.sharding): Gaussian-sharded
+preprocess/optimizer + tile-row-sharded rasterization with
+reduce-scattered gradients and densification stats.
 """
 
 from __future__ import annotations

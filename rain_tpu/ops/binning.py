@@ -446,13 +446,11 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
         (src_sorted,) + tuple(cts[0][r] for r in range(10)),
         dimension=0, is_stable=False, num_keys=1)
     valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(total, M)
-    d_rank = jnp.concatenate([
-        jnp.stack(d_sorted[1:]), jnp.zeros((6, M), jnp.float32)], axis=0)
-    d_rank = jnp.where(valid[None, :], d_rank, 0.0)
+    d_rank = jnp.where(valid[None, :], jnp.stack(d_sorted[1:]), 0.0)
     d_depth = expand_ops.reduce_instances(d_rank, exc_p, tiles_p, wblk,
                                           C=C)
     # depth order → original Gaussian order (pure permutation gather)
-    dd, iord = jax.lax.optimization_barrier((d_depth[:10, :n], inv_order))
+    dd, iord = jax.lax.optimization_barrier((d_depth[:, :n], inv_order))
     d10 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
     return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 

@@ -139,8 +139,9 @@ def expand_instances(table: jnp.ndarray, exc: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _reduce_kernel(C, wblk_ref, d_ref, exc0, exc1, til0, til1,
+def _reduce_kernel(C, rows, wblk_ref, d_ref, exc0, exc1, til0, til1,
                    out0, out1):
+    del rows  # encoded in the block shapes
     k = pl.program_id(0)
     i = k * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
     prev = wblk_ref[jnp.maximum(k - 1, 0)]
@@ -179,15 +180,17 @@ def reduce_instances(d: jnp.ndarray, exc: jnp.ndarray, tiles: jnp.ndarray,
     """Reduce per-instance gradient columns to per-Gaussian columns.
 
     Args:
-      d: [16, M] f32 gradient columns in RANK (generated/depth) order;
-        columns >= num_instances must already be zeroed.
+      d: [rows, M] f32 gradient columns in RANK (generated/depth) order
+        (rows is typically 10 — the differentiable pack rows); columns
+        >= num_instances must already be zeroed.
       exc, tiles, wblk: exactly the forward expansion's operands.
 
-    Returns [16, Npad] f32: column g = Σ_{i owned by g} d[:, i] (zero for
-    Gaussian blocks outside [wblk[0], wblk[-1] + 1] — all zero-grad).
+    Returns [rows, Npad] f32: column g = Σ_{i owned by g} d[:, i] (zero
+    for Gaussian blocks outside [wblk[0], wblk[-1] + 1] — all zero-grad).
     """
     if interpret is None:
         interpret = _interpret_default()
+    rows = d.shape[0]
     n_chunks = wblk.shape[0]
     npad = exc.shape[1]
     if npad < 2 * C or npad % C:
@@ -198,15 +201,15 @@ def reduce_instances(d: jnp.ndarray, exc: jnp.ndarray, tiles: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((16, C), lambda k, w: (0, k)),
+            pl.BlockSpec((rows, C), lambda k, w: (0, k)),
             pl.BlockSpec((1, C), lambda k, w: (0, w[k])),
             pl.BlockSpec((1, C), lambda k, w: (0, w[k] + 1)),
             pl.BlockSpec((1, C), lambda k, w: (0, w[k])),
             pl.BlockSpec((1, C), lambda k, w: (0, w[k] + 1)),
         ],
         out_specs=[
-            pl.BlockSpec((16, C), lambda k, w: (0, w[k])),
-            pl.BlockSpec((16, C), lambda k, w: (0, w[k] + 1)),
+            pl.BlockSpec((rows, C), lambda k, w: (0, w[k])),
+            pl.BlockSpec((rows, C), lambda k, w: (0, w[k] + 1)),
         ],
     )
     try:
@@ -214,10 +217,10 @@ def reduce_instances(d: jnp.ndarray, exc: jnp.ndarray, tiles: jnp.ndarray,
     except TypeError:
         params = pltpu.CompilerParams()
     out0, out1 = pl.pallas_call(
-        functools.partial(_reduce_kernel, C),
+        functools.partial(_reduce_kernel, C, rows),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((16, npad), _f32),
-                   jax.ShapeDtypeStruct((16, npad), _f32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, npad), _f32),
+                   jax.ShapeDtypeStruct((rows, npad), _f32)],
         compiler_params=params,
         interpret=interpret,
     )(wblk, d, exc, exc, tiles, tiles)

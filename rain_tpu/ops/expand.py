@@ -37,7 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Instances per expansion chunk (output block). The Gaussian window per
 # chunk is 2*C columns (two aligned C-blocks always cover a span of C).
-EXP_C = int(os.environ.get("RAIN_TPU_EXPAND_CHUNK", "512"))
+# v5e A/B across all garden population tiers: 256 beats 512 by 1.5-4%
+# and 1024 by ~10% (smaller [16, 2C] x [2C, C] selection matmuls win
+# over fewer grid steps).
+EXP_C = int(os.environ.get("RAIN_TPU_EXPAND_CHUNK", "256"))
 
 _f32 = jnp.float32
 _HI = jax.lax.Precision.HIGHEST

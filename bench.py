@@ -106,12 +106,17 @@ def main():
     # harness tunnel before timing anything
     _ = float(jnp.zeros(()).block_until_ready())
 
+    width, height = 1297, 840
     tiers = {}
     for name, (n, m, log_scale, iters) in TIERS.items():
         ips, ninst = run_tier(n, m, log_scale, iters)
         tiers[name] = {"gaussians": n, "max_instances": m,
                        "instances": ninst,
-                       "iters_per_s": round(ips, 3)}
+                       "iters_per_s": round(ips, 3),
+                       # BASELINE.md north-star companions to iters/s
+                       "mpixels_per_s_chip": round(
+                           ips * width * height / 1e6, 2),
+                       "minstances_per_s": round(ips * ninst / 1e6, 2)}
 
     headline = tiers["262k"]["iters_per_s"]
     print(json.dumps({

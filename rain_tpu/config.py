@@ -16,18 +16,21 @@ from pathlib import Path
 
 
 def _add_group(parser: argparse.ArgumentParser, cfg, name: str,
-               shorthands: set[str]):
+               shorthands: set[str], suppress: bool = False):
     group = parser.add_argument_group(name)
     for f in fields(cfg):
         flag = "--" + f.name
         default = getattr(cfg, f.name)
+        if suppress:
+            default = argparse.SUPPRESS
         names = [flag]
         if f.name in shorthands:
             names.append("-" + f.name[0])
         if f.type in ("bool", bool):
             group.add_argument(*names, default=default, action="store_true")
         else:
-            t = type(default) if default is not None else str
+            t = type(getattr(cfg, f.name)) if getattr(cfg, f.name) \
+                is not None else str
             group.add_argument(*names, default=default, type=t)
 
 
@@ -181,6 +184,45 @@ def apply_method_presets(cfgs: dict, source_path: str = "") -> dict:
     if rain.ours_new:
         rain = dataclasses.replace(rain, warmup_iter=10000)
     return dict(cfgs, model=model, rain=rain)
+
+
+def explicit_flag_names(argv,
+                        groups=("model", "pipeline", "opt", "rain",
+                                "system")) -> set[str]:
+    """Group-config flag names explicitly present on the command line.
+
+    Re-parses ``argv`` with every default set to ``argparse.SUPPRESS`` so
+    the resulting namespace holds exactly the flags the user typed —
+    the mechanism behind reference ``get_combined_args`` semantics
+    (arguments/__init__.py:82-102: any explicitly-passed CLI flag beats
+    the saved config).
+    """
+    import sys
+    if argv is None:
+        argv = sys.argv[1:]
+    probe = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
+    for g in groups:
+        cls = GROUPS[g]
+        _add_group(probe, cls(), g, set(getattr(cls, "SHORTHANDS", ())),
+                   suppress=True)
+    ns, _ = probe.parse_known_args(argv)
+    return set(vars(ns))
+
+
+def merge_saved(cfgs: dict, loaded: dict, explicit: set[str]) -> dict:
+    """Merge a saved config under CLI values: saved values win except for
+    flags the user explicitly passed (reference get_combined_args,
+    arguments/__init__.py:82-102)."""
+    merged = dict(cfgs)
+    for name, saved_cfg in loaded.items():
+        if name not in merged:
+            merged[name] = saved_cfg
+            continue
+        cli_cfg = merged[name]
+        overrides = {f.name: getattr(cli_cfg, f.name)
+                     for f in fields(saved_cfg) if f.name in explicit}
+        merged[name] = dataclasses.replace(saved_cfg, **overrides)
+    return merged
 
 
 def save_config(cfgs: dict, path: str | Path):

@@ -50,14 +50,26 @@ def _load_weights():
     return convs, lins
 
 
-def lpips_fn_or_none():
+def lpips_fn_or_none(log_fn=None):
     """Returns lpips(img1, img2) over [3,H,W] in [0,1], or None if
-    weights are unavailable."""
+    weights are unavailable. When None and ``log_fn`` is given, emits a
+    one-line warning (once per process) so the LPIPS key silently
+    missing from results.json / reports is explained — the reference
+    always has the metric because it downloads weights at runtime
+    (lpipsPyTorch/modules/utils.py:11-28)."""
     weights = _load_weights()
     if weights is None:
+        if log_fn is not None and not _load_weights.warned:
+            _load_weights.warned = True
+            log_fn("[lpips] VGG weights unavailable (set "
+                   "RAIN_TPU_LPIPS_VGG / RAIN_TPU_LPIPS_LIN) — LPIPS "
+                   "will be omitted from reports and results.json")
         return None
     convs, lins = weights
     return make_lpips(convs, lins)
+
+
+_load_weights.warned = False
 
 
 def make_lpips(convs, lins):

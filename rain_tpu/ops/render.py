@@ -80,6 +80,8 @@ class RenderOutput(NamedTuple):
 # "fused" (default): MXU one-hot expansion + payload-carrying sort, no
 # [M] gathers (ops.expand / ops.binning.sorted_pack). "legacy": rank-
 # indexed gathers + [16, M] pack gather (kept for A/B + parity tests).
+# Single-chip knob only: the sharded band step (parallel.sharding)
+# always uses the fused sorted_pack pipeline and ignores this env var.
 EXPAND_IMPL = os.environ.get("RAIN_TPU_EXPAND", "fused")
 if EXPAND_IMPL not in ("fused", "legacy"):
     raise ValueError(

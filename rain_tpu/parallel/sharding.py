@@ -199,15 +199,14 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
                 prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
                 prep.depth], axis=0)                     # [10, cap/D]
             # compact per-Gaussian streams → full capacity on every chip
+            # (tiles_touched is NOT gathered: the band restriction below
+            # recomputes each rect's in-band tile count from the rects)
             table10 = jax.lax.all_gather(table10_sh, AXIS, axis=1,
                                          tiled=True)
-            tiles_full = jax.lax.all_gather(prep.tiles_touched, AXIS,
-                                            axis=0, tiled=True)
             rmin = jax.lax.all_gather(prep.rect_min, AXIS, axis=0,
                                       tiled=True)
             rwh = jax.lax.all_gather(prep.rect_wh, AXIS, axis=0,
                                      tiled=True)
-            del tiles_full  # band restriction recomputes the count
             # restrict each rect to this band's rows (the full-grid rect
             # from preprocess is already within [0, grid_y])
             lo = jnp.maximum(band_ty0, 0)

@@ -30,7 +30,7 @@ def evaluate(model_paths):
     from rain_tpu.eval.lpips import lpips_fn_or_none
     from rain_tpu.ops import losses
 
-    lpips_fn = lpips_fn_or_none()
+    lpips_fn = lpips_fn_or_none(log_fn=print)
     full, per_view = {}, {}
     for model_path in model_paths:
         model_path = Path(model_path)

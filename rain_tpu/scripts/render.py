@@ -81,15 +81,12 @@ def main(argv=None):
     cfgs = cfg_mod.extract_all(args)
     saved = Path(args.model_path) / "cfg_args.json"
     if saved.exists():
-        loaded = cfg_mod.load_config(saved)
-        # CLI overrides win for explicitly-passed source/model path
-        if args.source_path:
-            import dataclasses
-            loaded["model"] = dataclasses.replace(
-                loaded["model"], source_path=args.source_path)
-        loaded["model"] = __import__("dataclasses").replace(
-            loaded["model"], model_path=args.model_path)
-        cfgs.update(loaded)
+        # full get_combined_args semantics (arguments/__init__.py:82-102):
+        # saved config is the base, any explicitly-passed CLI flag wins
+        explicit = cfg_mod.explicit_flag_names(argv)
+        explicit.add("model_path")  # -m names this run; never the saved one
+        cfgs = cfg_mod.merge_saved(cfgs, cfg_mod.load_config(saved),
+                                   explicit)
     model = cfgs["model"]
 
     from rain_tpu.data.dataset import load_scene

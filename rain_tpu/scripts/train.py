@@ -113,7 +113,12 @@ def main(argv=None):
         from rain_tpu.viewer.network_gui import NetworkGUI
         viewer = NetworkGUI(args.ip, args.port)
         print(f"GUI server started at {viewer.host}:{viewer.port}")
-    trainer = Trainer(scene, cfgs, model_path, viewer=viewer)
+    # --quiet: counterpart of reference safe_state(args.quiet)
+    # (utils/general_utils.py:86-90) — silence progress logging; file
+    # artifacts (log_file.txt, TB, checkpoints) are still written
+    log_fn = (lambda *a, **k: None) if args.quiet else print
+    trainer = Trainer(scene, cfgs, model_path, viewer=viewer,
+                      log_fn=log_fn)
     trainer.train(
         iterations=cfgs["opt"].iterations,
         test_iterations=tuple(args.test_iterations),

@@ -55,13 +55,26 @@ class _Verified(NamedTuple):
 
 @jax.jit
 def _pack_flags(aux):
-    """[5] f32 device vector so one fetch verifies a whole step."""
+    """[5] f32 device vector so one fetch verifies a whole step.
+    Counts travel as int32 bitcast into the f32 lanes so they stay
+    integer-exact above 2^24 (instance tiers go to 2^27)."""
+    def as_bits(v):
+        return jax.lax.bitcast_convert_type(v.astype(jnp.int32),
+                                            jnp.float32)
     return jnp.stack([
         aux.loss.astype(jnp.float32),
         aux.instance_overflow.astype(jnp.float32),
-        aux.num_instances.astype(jnp.float32),
+        as_bits(aux.num_instances),
         aux.l1.astype(jnp.float32),
-        aux.n_alive.astype(jnp.float32)])
+        as_bits(aux.n_alive)])
+
+
+def _unpack_flags(flags):
+    """Host-side decode of _pack_flags → (loss, ovf, ninst, l1, n_alive)."""
+    f = np.asarray(flags)
+    ints = f.view(np.int32)
+    return (float(f[0]), float(f[1]), int(ints[2]), float(f[3]),
+            int(ints[4]))
 
 
 class Trainer:
@@ -78,7 +91,10 @@ class Trainer:
         self.log = log_fn
         self.viewer = viewer
         # multi-host: only process 0 writes TB / checkpoints / PLYs
-        # (replicated state — every process would race on the same files)
+        # (every process would race on the same files). The ZeRO-style
+        # sharded step leaves params/opt state PS-sharded over the
+        # GLOBAL mesh, so saves first gather them host-local via
+        # _host_local (a collective every process joins).
         self.is_proc0 = jax.process_index() == 0
         self.tb = None
         if tensorboard and self.is_proc0:
@@ -273,7 +289,7 @@ class Trainer:
         the pre-step state and abort (reference dgr/__init__.py:73-80).
         Returns the verified scalar values."""
         iteration, flags, (prev_state, prev_opt), args = pending
-        loss, ovf, ninst, l1, n_alive = [float(v) for v in np.asarray(flags)]
+        loss, ovf, ninst, l1, n_alive = _unpack_flags(flags)
         if ovf > 0.0:
             later = self._pending if refire and \
                 self._pending is not pending else None
@@ -308,8 +324,7 @@ class Trainer:
         while True:
             prev_state, prev_opt = self.state, self.opt_state
             state, opt, flags = self._dispatch(args)
-            loss, ovf, ninst, l1, n_alive = [
-                float(v) for v in np.asarray(flags)]
+            loss, ovf, ninst, l1, n_alive = _unpack_flags(flags)
             if ovf > 0.0:
                 self.log(f"[cap] instance overflow at iter {iteration} "
                          f"({int(ninst)} > {self.max_instances}) — "
@@ -326,6 +341,23 @@ class Trainer:
             self.state, self.opt_state = state, opt
             return _Verified(loss=loss, l1=l1, num_instances=int(ninst),
                              instance_overflow=False, n_alive=int(n_alive))
+
+    def _host_local(self, tree):
+        """Make a device pytree fully addressable on every process.
+
+        In a multi-host run the post-step params/opt state live sharded
+        over the global mesh; process 0 cannot ``np.asarray`` them
+        directly. This gathers each leaf to host-local numpy via a
+        collective that EVERY process must call — so call it outside any
+        ``is_proc0`` guard, then gate only the file writes."""
+        if jax.process_count() == 1:
+            return tree
+        from jax.experimental import multihost_utils
+        return jax.tree.map(
+            lambda x: multihost_utils.process_allgather(x, tiled=True)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable
+            else x, tree,
+            is_leaf=lambda x: isinstance(x, jax.Array))
 
     def flush_pending(self):
         """Verify the in-flight step now (used before any state
@@ -451,18 +483,25 @@ class Trainer:
             if iteration in test_iterations:
                 self.flush_pending()
                 self.report(iteration)
-            if iteration in save_iterations and self.is_proc0:
+            # flush/gather run on EVERY process (flush can re-dispatch a
+            # collective program on overflow; the gather IS a
+            # collective) — only the file writes are proc-0-gated
+            if iteration in save_iterations:
                 self.flush_pending()
-                path = (self.model_path / "point_cloud" /
-                        f"iteration_{iteration}" / "point_cloud.ply")
-                ckpt.save_ply_snapshot(path, self.state)
-                self.log(f"[{iteration}] saved {path}")
-            if iteration in checkpoint_iterations and self.is_proc0:
+                state = self._host_local(self.state)
+                if self.is_proc0:
+                    path = (self.model_path / "point_cloud" /
+                            f"iteration_{iteration}" / "point_cloud.ply")
+                    ckpt.save_ply_snapshot(path, state)
+                    self.log(f"[{iteration}] saved {path}")
+            if iteration in checkpoint_iterations:
                 self.flush_pending()
-                path = self.model_path / f"chkpnt{iteration}.npz"
-                ckpt.save_checkpoint(path, self.state, self.opt_state,
-                                     iteration, self.spatial_lr_scale)
-                self.log(f"[{iteration}] checkpoint {path}")
+                state, opt = self._host_local((self.state, self.opt_state))
+                if self.is_proc0:
+                    path = self.model_path / f"chkpnt{iteration}.npz"
+                    ckpt.save_checkpoint(path, state, opt, iteration,
+                                         self.spatial_lr_scale)
+                    self.log(f"[{iteration}] checkpoint {path}")
         self.flush_pending()
         self._profile_tick(iterations + 1)   # close a still-open trace
         return self.state
@@ -515,7 +554,7 @@ class Trainer:
     # -- evaluation (training_report, train.py:179-224) --------------------
     def report(self, iteration):
         from rain_tpu.eval.lpips import lpips_fn_or_none
-        lpips_fn = lpips_fn_or_none()
+        lpips_fn = lpips_fn_or_none(log_fn=self.log)
         configs = [("test", self.scene.test_cameras),
                    ("train", [self.scene.train_cameras[
                        i % len(self.scene.train_cameras)]

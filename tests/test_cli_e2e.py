@@ -398,3 +398,92 @@ def test_render_only_from_result_ply(colmap_scene, tmp_path):
     # render_only keeps every camera in the train split
     renders = list((model_path / "train" / "ours_5" / "renders").iterdir())
     assert len(renders) == N_CAMS
+
+
+# ---------------------------------------------------------------------------
+# get_combined_args override semantics (arguments/__init__.py:82-102)
+# ---------------------------------------------------------------------------
+
+def test_explicit_cli_flags_override_saved_config(tmp_path):
+    """Any explicitly-passed CLI flag beats the saved config; every other
+    flag takes the saved value (reference get_combined_args)."""
+    import dataclasses
+    from rain_tpu import config as cfg_mod
+
+    saved_path = tmp_path / "cfg_args.json"
+    base = {name: cls() for name, cls in cfg_mod.GROUPS.items()}
+    base["model"] = dataclasses.replace(
+        base["model"], white_background=True, resolution=2,
+        source_path="/saved/scene", sh_degree=2)
+    base["rain"] = dataclasses.replace(base["rain"], num_cams=7)
+    cfg_mod.save_config(base, saved_path)
+
+    argv = ["-m", str(tmp_path), "--resolution", "4"]
+    explicit = cfg_mod.explicit_flag_names(argv)
+    assert "resolution" in explicit and "model_path" in explicit
+    assert "white_background" not in explicit
+
+    parser = cfg_mod.build_parser("t")
+    cfgs = cfg_mod.extract_all(parser.parse_args(argv))
+    merged = cfg_mod.merge_saved(
+        cfgs, cfg_mod.load_config(saved_path), explicit)
+    assert merged["model"].resolution == 4            # explicit CLI wins
+    assert merged["model"].white_background is True   # saved wins
+    assert merged["model"].source_path == "/saved/scene"
+    assert merged["model"].sh_degree == 2
+    assert merged["rain"].num_cams == 7
+
+    # boolean + shorthand: -w is explicit, overrides saved False
+    base["model"] = dataclasses.replace(base["model"],
+                                        white_background=False)
+    cfg_mod.save_config(base, saved_path)
+    argv = ["-m", str(tmp_path), "-w"]
+    explicit = cfg_mod.explicit_flag_names(argv)
+    assert "white_background" in explicit
+    merged = cfg_mod.merge_saved(
+        cfg_mod.extract_all(parser.parse_args(argv)),
+        cfg_mod.load_config(saved_path), explicit)
+    assert merged["model"].white_background is True
+
+
+def test_render_cli_explicit_override_e2e(colmap_scene, tmp_path):
+    """render.py: --white_background / --sh_degree passed explicitly win
+    over the saved training config."""
+    root, *_ = colmap_scene
+    model_path = tmp_path / "model_ov"
+    from rain_tpu.scripts import render as render_cli
+    from rain_tpu.scripts import train as train_cli
+    train_cli.main([
+        "-s", str(root), "--model_path", str(model_path),
+        "--iterations", "5", "--test_iterations", "-1",
+        "--save_iterations", "5", "--num_cams", "3",
+        "--capacity", "1024", "--max_instances", "16384",
+        "--resolution", "1", "--quiet"])
+    # the trained model covers little of the frame: a white background
+    # forced at render time must brighten the mean image vs the saved
+    # black background
+    render_cli.main(["--model_path", str(model_path), "-s", str(root),
+                     "--skip_train", "--resolution", "1"])
+    from PIL import Image
+    test_dir = model_path / "test" / "ours_5"
+    p = sorted((test_dir / "renders").iterdir())[0]
+    black_mean = np.asarray(Image.open(p), np.float32).mean()
+    render_cli.main(["--model_path", str(model_path), "-s", str(root),
+                     "--skip_train", "--resolution", "1",
+                     "--white_background"])
+    white_mean = np.asarray(Image.open(p), np.float32).mean()
+    assert white_mean > black_mean + 50.0
+
+
+def test_lpips_unavailable_warning(capsys):
+    """When LPIPS weights are absent a one-line warning explains the
+    missing metric (instead of silently omitting it)."""
+    from rain_tpu.eval import lpips as lpips_mod
+    lpips_mod._load_weights.warned = False
+    msgs = []
+    assert lpips_mod.lpips_fn_or_none(log_fn=msgs.append) is None or msgs
+    if msgs:   # weights absent in this environment
+        assert "LPIPS" in msgs[0]
+        # warned only once per process
+        lpips_mod.lpips_fn_or_none(log_fn=msgs.append)
+        assert len(msgs) == 1

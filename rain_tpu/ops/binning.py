@@ -272,6 +272,17 @@ if REDUCE_IMPL not in ("mxu", "scatter"):
                      f"reduction implementation; use 'mxu' or 'scatter'")
 
 
+# At or above this Gaussian count, the depth permutation (and its
+# inverse in the backward) is applied by payload-carrying sorts instead
+# of column gathers: XLA's async-slice gather path serializes between
+# N=1M and N=4M on v5e (a [16, 4.2M] column gather ran at ~105 ms,
+# 65%+ of it serial, in the round-5 xplane trace) while a 14-operand
+# payload sort of the same data costs ~45 ms. Below the threshold the
+# async-slice gathers win (~2.6 ms at 262k vs ~2.9 ms sorted).
+PERMUTE_SORT_MIN_N = int(os.environ.get("RAIN_TPU_PERMUTE_SORT_MIN_N",
+                                        str(1 << 21)))
+
+
 def _expand_chunk(max_instances: int) -> int:
     """Largest power-of-two chunk <= EXP_C that divides max_instances
     (0 if none >= 128 exists — caller falls back to the gather path)."""
@@ -317,38 +328,60 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
 
     visible = tiles_touched > 0
     depth_key = jnp.where(visible, table10[9], jnp.inf)
-    order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
-
-    # 16-row per-Gaussian table in ORIGINAL order; rows 10.. carry the
-    # integer rect streams as f32 so ONE column gather depth-orders
-    # everything (row 11 is a placeholder later replaced by the exc
-    # split, row 15 by the rank iota). Attributes of culled Gaussians
-    # are zeroed: the expansion matmul multiplies every window column
-    # by its 0/1 indicator, and 0 * inf would poison the products.
+    # Attributes of culled Gaussians are zeroed: the expansion matmul
+    # multiplies every window column by its 0/1 indicator, and 0 * inf
+    # would poison the products.
     vis_f = visible.astype(jnp.float32)
-    table16 = jnp.concatenate([
-        table10 * vis_f[None, :],
-        tiles_touched.astype(jnp.float32)[None] * vis_f[None],
-        jnp.zeros((1, n), jnp.float32),
-        jnp.maximum(rect_wh[:, 0], 1).astype(jnp.float32)[None],
-        (rect_min[:, 1] * grid_x + rect_min[:, 0]
-         ).astype(jnp.float32)[None],
-        jnp.arange(n, dtype=jnp.float32)[None],     # original index
-        jnp.zeros((1, n), jnp.float32),
-    ], axis=0)
-    t, o = jax.lax.optimization_barrier((table16, order))
-    table_d = jax.lax.optimization_barrier(jnp.take(t, o, axis=1))
+    w_raw = jnp.maximum(rect_wh[:, 0], 1).astype(jnp.int32)
+    base_raw = (rect_min[:, 1] * grid_x + rect_min[:, 0]).astype(jnp.int32)
 
-    tiles_d = table_d[10].astype(jnp.int32)
+    if n >= PERMUTE_SORT_MIN_N:
+        # payload-carrying depth sort: (depth, original-index) is a
+        # unique composite key, so the unstable sort equals the stable
+        # argsort tie-break (== the CUDA radix order). One 14-operand
+        # sort replaces argsort + the serial [16, N] column gather.
+        srt = jax.lax.sort(
+            (depth_key, jnp.arange(n, dtype=jnp.int32))
+            + tuple(table10[r] * vis_f for r in range(10))
+            + (jnp.where(visible, tiles_touched, 0).astype(jnp.int32),
+               w_raw, base_raw),
+            dimension=0, is_stable=False, num_keys=2)
+        order = srt[1]
+        attrs_d = jnp.stack(srt[2:12])               # [10, N] depth-ordered
+        tiles_d = srt[12]
+        w_d = srt[13].astype(jnp.float32)
+        base_d = srt[14].astype(jnp.float32)
+    else:
+        order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
+        # 16-row per-Gaussian table in ORIGINAL order; rows 10.. carry
+        # the integer rect streams as f32 so ONE column gather
+        # depth-orders everything.
+        table16 = jnp.concatenate([
+            table10 * vis_f[None, :],
+            tiles_touched.astype(jnp.float32)[None] * vis_f[None],
+            jnp.zeros((1, n), jnp.float32),
+            w_raw.astype(jnp.float32)[None],
+            base_raw.astype(jnp.float32)[None],
+            jnp.zeros((2, n), jnp.float32),
+        ], axis=0)
+        t, o = jax.lax.optimization_barrier((table16, order))
+        table_d = jax.lax.optimization_barrier(jnp.take(t, o, axis=1))
+        attrs_d = table_d[:10]
+        tiles_d = table_d[10].astype(jnp.int32)
+        w_d = table_d[12]
+        base_d = table_d[13]
+
     offs = jnp.cumsum(tiles_d)                       # [N] inclusive
     total = offs[-1]
     exc = offs - tiles_d
     # exc can exceed 2^24 (not f32-exact): split into exact 12-bit halves
     ktable = jnp.concatenate([
-        table_d[:10],
+        attrs_d,
         (exc >> 12).astype(jnp.float32)[None],
         (exc & 0xFFF).astype(jnp.float32)[None],
-        table_d[12:15],
+        w_d[None],
+        base_d[None],
+        order.astype(jnp.float32)[None],             # original index
         jnp.arange(n, dtype=jnp.float32)[None],      # depth rank
     ], axis=0)
 
@@ -411,11 +444,7 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
         # permutation lowers to a ~119 ms serial loop at M=2^22 on v5e;
         # the payload sort runs in ~1/3 of that)
         src_sorted = out[-1]
-        # inv_order[g] = depth rank of Gaussian g (inverts order)
-        inv_order = jax.lax.sort(
-            (order, jnp.arange(n, dtype=jnp.int32)), dimension=0,
-            is_stable=False, num_keys=1)[1]
-        res = (src_sorted, inv_order, exc_p, tiles_p, wblk, total)
+        res = (src_sorted, order, exc_p, tiles_p, wblk, total)
     return (pack, total, total > M), res
 
 
@@ -434,8 +463,8 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
         d10 = jax.lax.optimization_barrier(d10)
         return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 
-    src_sorted, inv_order, exc_p, tiles_p, wblk, total = res
-    n = inv_order.shape[0]
+    src_sorted, order, exc_p, tiles_p, wblk, total = res
+    n = order.shape[0]
     C = _expand_chunk(M)
     # un-permute gradient columns to rank (generated/depth) order by
     # sorting on the generated position carried through the forward sort.
@@ -449,9 +478,23 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
     d_rank = jnp.where(valid[None, :], jnp.stack(d_sorted[1:]), 0.0)
     d_depth = expand_ops.reduce_instances(d_rank, exc_p, tiles_p, wblk,
                                           C=C)
-    # depth order → original Gaussian order (pure permutation gather)
-    dd, iord = jax.lax.optimization_barrier((d_depth[:, :n], inv_order))
-    d10 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
+    # depth order → original Gaussian order. order is a permutation of
+    # [0, n), so sorting the gradient columns keyed by it lands column g
+    # at position g — an 11-operand payload sort, used at large N where
+    # the permutation gather serializes (~105 ms at [10, 4.2M] on v5e).
+    if n >= PERMUTE_SORT_MIN_N:
+        dd = d_depth[:, :n]
+        out = jax.lax.sort((order,) + tuple(dd[r] for r in range(10)),
+                           dimension=0, is_stable=False, num_keys=1)
+        d10 = jnp.stack(out[1:])
+    else:
+        # inv_order[g] = depth rank of Gaussian g (inverts order)
+        inv_order = jax.lax.sort(
+            (order, jnp.arange(n, dtype=jnp.int32)), dimension=0,
+            is_stable=False, num_keys=1)[1]
+        dd, iord = jax.lax.optimization_barrier(
+            (d_depth[:, :n], inv_order))
+        d10 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
     return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 
 

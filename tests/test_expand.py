@@ -233,3 +233,41 @@ def test_fused_overflow_flag(monkeypatch):
     assert bool(ovf)
     assert int(total) == int(binn.num_instances)
     assert np.isfinite(np.asarray(pack)).all()
+
+
+def test_permute_sort_path_matches_gather_path(monkeypatch):
+    """The large-N payload-sort depth permutation (and its backward
+    inverse) is bit-identical to the small-N column-gather path."""
+    width, height = 160, 112
+    scene = _scene(seed=5)
+    prep = _preprocess(scene, width, height)
+    grid_x = (width + 15) // 16
+    n_tiles = grid_x * ((height + 15) // 16)
+    M = 4096
+
+    table10 = jnp.stack([
+        prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+        prep.xy[:, 0], prep.xy[:, 1], prep.opacity,
+        prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
+        prep.depth], axis=0)
+
+    def f(t10):
+        pack, total, ovf = binning_ops.sorted_pack(
+            t10, prep.tiles_touched, prep.rect_min, prep.rect_wh,
+            jnp.asarray(0, jnp.int32), grid_x, n_tiles, M)
+        w = jnp.sin(jnp.arange(pack.size, dtype=jnp.float32)
+                    ).reshape(pack.shape)
+        return jnp.sum(pack[:10] * w[:10]), (pack, total)
+
+    outs = {}
+    for name, thresh in [("gather", 1 << 62), ("sort", 0)]:
+        monkeypatch.setattr(binning_ops, "PERMUTE_SORT_MIN_N", thresh)
+        (val, (pack, total)), grad = jax.value_and_grad(
+            f, has_aux=True)(table10)
+        outs[name] = (np.asarray(pack), int(total), np.asarray(grad))
+
+    assert outs["gather"][1] == outs["sort"][1]
+    m = outs["gather"][1]
+    np.testing.assert_array_equal(outs["gather"][0][:, :m],
+                                  outs["sort"][0][:, :m])
+    np.testing.assert_array_equal(outs["gather"][2], outs["sort"][2])

@@ -136,3 +136,20 @@ def test_trainer_sharded_matches_single(tmp_path):
                           t1.state.params):
         a, b = np.asarray(a)[:n1], np.asarray(b)[:n1]
         assert np.abs(a - b).max() < 2e-3, (name, np.abs(a - b).max())
+
+
+def test_scaling_sweep_runs():
+    """The scaling-sweep path (parallel/scaling.py + __graft_entry__
+    sweep) executes a 1→2-device sweep on the virtual mesh and reports
+    finite throughput/efficiency (the artifact generator for
+    docs/SCALING_r*.json — this keeps the path from rotting)."""
+    from rain_tpu.parallel.scaling import scaling_sweep
+    msgs = []
+    res = scaling_sweep([1, 2], width=64, height=64, n_gaussians=512,
+                        iters=1, log_fn=msgs.append)
+    assert [r["n_dev"] for r in res] == [1, 2]
+    for r in res:
+        assert np.isfinite(r["steps_per_s"]) and r["steps_per_s"] > 0
+        assert np.isfinite(r["efficiency"]) and r["efficiency"] > 0
+    assert res[0]["efficiency"] == 1.0
+    assert len(msgs) == 2

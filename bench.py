@@ -6,9 +6,9 @@ Configuration mirrors Mip-NeRF-360 'garden' at images_4 resolution
 (1297x840 → padded tile grid 82x53) at three Gaussian-population tiers
 spanning the whole training trajectory:
 
-  262k (mid-training, ~0.6M instances, 2^20 instance tier)   ← headline
+  262k (mid-training, ~0.6M instances, 768k instance tier)   ← headline
   1m   (late-training, ~1.6M instances, 2^21 tier)
-  4m   (end-state,     ~5.4M instances, 2^23 tier — the scale the CUDA
+  4m   (end-state,     ~5.4M instances, 6.29M tier — the scale the CUDA
         reference reaches on garden, rasterizer_impl.cu:269-310 sizing
         its buffers to num_rendered)
 
@@ -36,10 +36,13 @@ import numpy as np  # noqa: E402
 BASELINE_ITERS_PER_S = 10.0
 
 # name → (n_gaussians, max_instances, log_scale, timed_iters)
+# max_instances = the tier the Trainer's half-step growth ladder
+# (trainer._next_instance_tier: 2^k, 3·2^(k-1), ...) settles on for the
+# tier's instance count.
 TIERS = {
-    "262k": (262_144, 1 << 20, -4.5, 20),
+    "262k": (262_144, 786_432, -4.5, 20),
     "1m": (1 << 20, 1 << 21, -5.2, 10),
-    "4m": (1 << 22, 1 << 23, -5.9, 5),
+    "4m": (1 << 22, 6_291_456, -5.9, 6),
 }
 
 

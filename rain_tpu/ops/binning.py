@@ -294,9 +294,10 @@ def _expand_chunk(max_instances: int) -> int:
     return 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def sorted_pack(table10, tiles_touched, rect_min, rect_wh, tile_offset,
-                grid_x: int, n_tiles: int, max_instances: int):
+                grid_x: int, n_tiles: int, max_instances: int,
+                need_depth: bool = True):
     """Tile-sorted [16, M] instance pack for ops.tile_render.composite.
 
     Args:
@@ -306,19 +307,27 @@ def sorted_pack(table10, tiles_touched, rect_min, rect_wh, tile_offset,
       tiles_touched, rect_min, rect_wh: integer rect data (projection).
       tile_offset: int32 scalar — global tile id of local tile 0.
       grid_x, n_tiles, max_instances: static grid config.
+      need_depth: static. False (training steps — the loss never reads
+        the depth channel) zeroes the pack's depth row instead of
+        carrying it through the [M] instance sort, saving one operand
+        in the sort's traffic.
 
     Returns (pack [16, M], num_instances, overflow). Only table10
-    receives a gradient: the VJP is a deterministic per-Gaussian
-    scatter-add of the sorted instance cotangents (the atomicAdd
-    replacement, backward.cu:513-544).
+    receives a gradient — and its depth row NEVER does (the pack's
+    depth-channel cotangent is ignored, exactly like the reference
+    discarding grad_depth, dgr/__init__.py:96): the VJP is a
+    deterministic per-Gaussian scatter-add of the sorted instance
+    cotangents (the atomicAdd replacement, backward.cu:513-544).
     """
     out, _ = _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
-                              tile_offset, grid_x, n_tiles, max_instances)
+                              tile_offset, grid_x, n_tiles, max_instances,
+                              need_depth)
     return out
 
 
 def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
-                     tile_offset, grid_x, n_tiles, max_instances):
+                     tile_offset, grid_x, n_tiles, max_instances,
+                     need_depth=True):
     n = tiles_touched.shape[0]
     M = max_instances
     C = _expand_chunk(M)
@@ -338,19 +347,23 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
     if n >= PERMUTE_SORT_MIN_N:
         # payload-carrying depth sort: (depth, original-index) is a
         # unique composite key, so the unstable sort equals the stable
-        # argsort tie-break (== the CUDA radix order). One 14-operand
-        # sort replaces argsort + the serial [16, N] column gather.
+        # argsort tie-break (== the CUDA radix order). One 13-operand
+        # sort replaces argsort + the serial [16, N] column gather; the
+        # depth attribute row is not carried — it is rebuilt from the
+        # sort key (finite key == visible depth, inf == culled → 0).
         srt = jax.lax.sort(
             (depth_key, jnp.arange(n, dtype=jnp.int32))
-            + tuple(table10[r] * vis_f for r in range(10))
+            + tuple(table10[r] * vis_f for r in range(9))
             + (jnp.where(visible, tiles_touched, 0).astype(jnp.int32),
                w_raw, base_raw),
             dimension=0, is_stable=False, num_keys=2)
         order = srt[1]
-        attrs_d = jnp.stack(srt[2:12])               # [10, N] depth-ordered
-        tiles_d = srt[12]
-        w_d = srt[13].astype(jnp.float32)
-        base_d = srt[14].astype(jnp.float32)
+        depth_d = jnp.where(jnp.isfinite(srt[0]), srt[0], 0.0)
+        attrs_d = jnp.concatenate(
+            [jnp.stack(srt[2:11]), depth_d[None]])   # [10, N] depth-ordered
+        tiles_d = srt[11]
+        w_d = srt[12].astype(jnp.float32)
+        base_d = srt[13].astype(jnp.float32)
     else:
         order = jnp.argsort(depth_key, stable=True).astype(jnp.int32)
         # 16-row per-Gaussian table in ORIGINAL order; rows 10.. carry
@@ -417,7 +430,8 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
     gauss = jnp.where(valid, ex[_ROW_GAUSS].astype(jnp.int32), n)
 
     rank_bits = max(int(n - 1).bit_length(), 1)
-    attrs = tuple(ex[r] for r in range(10))
+    n_attr = 10 if need_depth else 9
+    attrs = tuple(ex[r] for r in range(n_attr))
     # the extra sort payload: the owning-Gaussian index for the scatter
     # reduction, or the pre-sort instance position (generated = rank
     # order) whose inverse permutation drives the MXU reduction
@@ -425,7 +439,7 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
         jnp.arange(M, dtype=jnp.int32)
     if (n_tiles + 1) << rank_bits <= 2 ** 31:
         # packed single-key unstable sort (keys unique — equals the
-        # stable (tile, rank) order), carrying the 10 attribute rows +
+        # stable (tile, rank) order), carrying the attribute rows +
         # the reduction payload
         key = (tile << rank_bits) | rank
         out = jax.lax.sort((key,) + attrs + (extra,), dimension=0,
@@ -434,7 +448,8 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
         out = jax.lax.sort((tile, rank) + attrs + (extra,), dimension=0,
                            is_stable=False, num_keys=2)
     pack = jnp.concatenate([
-        jnp.stack(out[-11:-1]), jnp.zeros((6, M), jnp.float32)], axis=0)
+        jnp.stack(out[-(n_attr + 1):-1]),
+        jnp.zeros((16 - n_attr, M), jnp.float32)], axis=0)
     if REDUCE_IMPL == "scatter":
         res = (out[-1], n)
     else:
@@ -448,7 +463,11 @@ def _sorted_pack_fwd(table10, tiles_touched, rect_min, rect_wh,
     return (pack, total, total > M), res
 
 
-def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
+def _sorted_pack_bwd(grid_x, n_tiles, max_instances, need_depth, res, cts):
+    # The depth row (9) carries NO gradient by contract (reference
+    # discards grad_depth, dgr/__init__.py:96; tile_render's VJP zeroes
+    # that cotangent row) — all reductions below run on 9 rows and the
+    # zero depth row is appended at the end.
     M = max_instances
     zi = lambda a_shape: np.zeros(a_shape, jax.dtypes.float0)  # noqa: E731
     if REDUCE_IMPL == "scatter":
@@ -457,10 +476,11 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
         # deterministic scatter-add reduction to per-Gaussian gradients
         # (dump index n from padding instances is dropped); the barriers
         # keep XLA from fusing the scatter into a serial loop
-        g, idx = jax.lax.optimization_barrier((d_pack[:10], gauss_sorted))
-        d10 = jnp.zeros((10, n), d_pack.dtype).at[:, idx].add(
+        g, idx = jax.lax.optimization_barrier((d_pack[:9], gauss_sorted))
+        d9 = jnp.zeros((9, n), d_pack.dtype).at[:, idx].add(
             g, mode="drop")
-        d10 = jax.lax.optimization_barrier(d10)
+        d9 = jax.lax.optimization_barrier(d9)
+        d10 = jnp.concatenate([d9, jnp.zeros((1, n), d9.dtype)], axis=0)
         return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 
     src_sorted, order, exc_p, tiles_p, wblk, total = res
@@ -472,7 +492,7 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
     # zero them (their one-hot rows are all-zero anyway, but 0·garbage
     # must not produce NaN).
     d_sorted = jax.lax.sort(
-        (src_sorted,) + tuple(cts[0][r] for r in range(10)),
+        (src_sorted,) + tuple(cts[0][r] for r in range(9)),
         dimension=0, is_stable=False, num_keys=1)
     valid = jnp.arange(M, dtype=jnp.int32) < jnp.minimum(total, M)
     d_rank = jnp.where(valid[None, :], jnp.stack(d_sorted[1:]), 0.0)
@@ -480,13 +500,13 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
                                           C=C)
     # depth order → original Gaussian order. order is a permutation of
     # [0, n), so sorting the gradient columns keyed by it lands column g
-    # at position g — an 11-operand payload sort, used at large N where
+    # at position g — a 10-operand payload sort, used at large N where
     # the permutation gather serializes (~105 ms at [10, 4.2M] on v5e).
     if n >= PERMUTE_SORT_MIN_N:
         dd = d_depth[:, :n]
-        out = jax.lax.sort((order,) + tuple(dd[r] for r in range(10)),
+        out = jax.lax.sort((order,) + tuple(dd[r] for r in range(9)),
                            dimension=0, is_stable=False, num_keys=1)
-        d10 = jnp.stack(out[1:])
+        d9 = jnp.stack(out[1:])
     else:
         # inv_order[g] = depth rank of Gaussian g (inverts order)
         inv_order = jax.lax.sort(
@@ -494,7 +514,8 @@ def _sorted_pack_bwd(grid_x, n_tiles, max_instances, res, cts):
             is_stable=False, num_keys=1)[1]
         dd, iord = jax.lax.optimization_barrier(
             (d_depth[:, :n], inv_order))
-        d10 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
+        d9 = jax.lax.optimization_barrier(jnp.take(dd, iord, axis=1))
+    d10 = jnp.concatenate([d9, jnp.zeros((1, n), d9.dtype)], axis=0)
     return (d10, zi((n,)), zi((n, 2)), zi((n, 2)), zi(()))
 
 

@@ -94,12 +94,15 @@ def render_tiles(prep: proj_ops.Preprocessed,
                  *,
                  grid_x: int, grid_y: int,
                  ty0, n_rows: int,
-                 max_instances: int):
+                 max_instances: int,
+                 need_depth: bool = True):
     """Composite a horizontal band of tile rows [ty0, ty0 + n_rows).
 
     Returns tiles [n_rows*grid_x, 256, 8] plus (num_instances, overflow).
     ``ty0`` may be a traced band offset (the sharded path,
-    parallel.sharding); ``n_rows`` is static.
+    parallel.sharding); ``n_rows`` is static. ``need_depth=False``
+    (training) zeroes the depth output channel instead of carrying the
+    row through the instance sort (fused path only).
     """
     n = prep.depth.shape[0]
     n_tiles = n_rows * grid_x
@@ -117,7 +120,7 @@ def render_tiles(prep: proj_ops.Preprocessed,
             prep.depth], axis=0)                          # [10, N]
         pack, num_instances, overflow = binning_ops.sorted_pack(
             table10, prep.tiles_touched, prep.rect_min, prep.rect_wh,
-            toff[0], grid_x, n_tiles, max_instances)
+            toff[0], grid_x, n_tiles, max_instances, need_depth)
         visible = prep.tiles_touched > 0
         tile_start, tile_end = binning_ops.tile_ranges(
             prep.rect_min, prep.rect_wh, visible, grid_x, n_tiles,
@@ -175,10 +178,12 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
            max_instances: int,
            xy_tap: jnp.ndarray | None = None,
            colors_override: jnp.ndarray | None = None,
-           cov3d_override: jnp.ndarray | None = None) -> RenderOutput:
+           cov3d_override: jnp.ndarray | None = None,
+           need_depth: bool = True) -> RenderOutput:
     """Render one view. All post-activation inputs (see model.gaussians).
 
     camera: dict from data.cameras.Camera.render_inputs().
+    need_depth=False (training steps) returns a zero depth channel.
     """
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
@@ -196,7 +201,7 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
 
     tiles, num_instances, overflow = render_tiles(
         prep, xy_tap, grid_x=grid_x, grid_y=grid_y, ty0=0, n_rows=grid_y,
-        max_instances=max_instances)
+        max_instances=max_instances, need_depth=need_depth)
 
     img = assemble_image(tiles, grid_x, grid_y, height, width)
     color = img[..., 0:3] + img[..., tile_render.CH_T:tile_render.CH_T + 1] \

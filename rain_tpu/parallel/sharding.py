@@ -219,7 +219,8 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
             tiles_b = jnp.where(h > 0, rwh[:, 0] * h, 0)
 
             pack, num_inst, ovf = binning_ops.sorted_pack(
-                table10, tiles_b, rmin_b, rwh_b, toff, grid_x, n_tiles, M)
+                table10, tiles_b, rmin_b, rwh_b, toff, grid_x, n_tiles, M,
+                False)   # training band: depth channel unused
             tile_start, tile_end = binning_ops.tile_ranges(
                 rmin_b, rwh_b, tiles_b > 0, grid_x, n_tiles, toff, M)
             tiles_img = tile_render.composite(

@@ -54,7 +54,8 @@ def train_step(state: gmod.GaussianState, opt: adam_mod.AdamState,
             params.xyz, scales, quats, opac, shs, alive,
             camera=camera, width=width, height=height,
             sh_degree=sh_degree, bg=bg, low_pass=low_pass,
-            max_instances=max_instances, xy_tap=tap)
+            max_instances=max_instances, xy_tap=tap,
+            need_depth=False)   # training loss never reads depth
         loss, l1 = loss_ops.training_loss(out.render, gt_image,
                                           lambda_dssim)
         return loss, (l1, out)

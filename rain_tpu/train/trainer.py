@@ -44,6 +44,21 @@ def _round_up(x, m):
     return ((int(x) + m - 1) // m) * m
 
 
+def _next_instance_tier(m: int) -> int:
+    """Next instance-buffer tier above m on the half-step ladder
+    {2^k, 3·2^(k-1)}. The binning sort + expansion kernels are linear in
+    the tier size, so half-steps keep the settled tier within 1.5x of
+    the true instance count instead of doubling's 2x (at the garden
+    end-state: 6.29M tier for 5.44M instances instead of 8.39M — ~25%
+    off the sort traffic). Every ladder value >= 65536 is a multiple of
+    the expansion chunk and the 32768 shard alignment."""
+    p = 1 << (int(m).bit_length() - 1)         # largest pow2 <= m
+    for cand in (p + (p >> 1), 2 * p, 3 * p):
+        if cand > m:
+            return cand
+    return 4 * p
+
+
 class _Verified(NamedTuple):
     """Host-side scalar results of a verified train step."""
     loss: float
@@ -211,7 +226,7 @@ class Trainer:
         return jax.tree.map(pad, params)
 
     def _grow_instances(self):
-        self.max_instances = _round_up(self.max_instances * 2, 65536)
+        self.max_instances = _next_instance_tier(self.max_instances)
         if self.max_instances > (1 << 27):
             raise MemoryError(
                 f"instance tier {self.max_instances} exceeds the 2^27 "

@@ -271,3 +271,34 @@ def test_permute_sort_path_matches_gather_path(monkeypatch):
     np.testing.assert_array_equal(outs["gather"][0][:, :m],
                                   outs["sort"][0][:, :m])
     np.testing.assert_array_equal(outs["gather"][2], outs["sort"][2])
+
+
+def test_need_depth_false_matches_color_and_grads():
+    """need_depth=False (the training configuration) must change ONLY
+    the depth output channel (zeroed): color/alpha/n_contrib and all
+    parameter gradients are identical."""
+    width, height = 160, 112
+    scene = _scene(seed=7)
+    pts, scales, quats, opac, shs, alive, camera = scene
+    M = 4096
+
+    def run(need_depth):
+        def loss_fn(op):
+            out = render_mod.render(
+                jnp.asarray(pts), jnp.asarray(scales), jnp.asarray(quats),
+                op, jnp.asarray(shs), jnp.asarray(alive),
+                camera=camera, width=width, height=height, sh_degree=2,
+                bg=jnp.asarray([0.3, 0.1, 0.2], jnp.float32),
+                low_pass=0.3, max_instances=M, need_depth=need_depth)
+            return jnp.sum(out.render ** 2), out
+        return jax.value_and_grad(loss_fn, has_aux=True)(jnp.asarray(opac))
+
+    (v1, o1), g1 = run(True)
+    (v2, o2), g2 = run(False)
+    np.testing.assert_array_equal(np.asarray(o1.render),
+                                  np.asarray(o2.render))
+    np.testing.assert_array_equal(np.asarray(o1.n_contrib),
+                                  np.asarray(o2.n_contrib))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.any(np.asarray(o1.depth) > 0)
+    assert np.all(np.asarray(o2.depth) == 0.0)

@@ -15,10 +15,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 TIERS = {
-    "262k": (262_144, 1 << 20, -4.5),
+    "262k": (262_144, 786_432, -4.5),
+    "262k-pow2": (262_144, 1 << 20, -4.5),
     "1m": (1 << 20, 1 << 21, -5.2),     # 1.64M instances -> 2^21 tier
     "1m-wide": (1 << 20, 1 << 22, -5.2),
-    "4m": (1 << 22, 1 << 23, -5.9),
+    "4m": (1 << 22, 6_291_456, -5.9),
+    "4m-pow2": (1 << 22, 1 << 23, -5.9),
 }
 
 

@@ -123,6 +123,9 @@ class RainParams:
 class SystemParams:
     """TPU-framework-specific knobs (no reference counterpart)."""
     capacity: int = 0              # 0 = auto (grown on demand)
+    max_capacity: int = 0          # 0 = unlimited; else capacity growth
+    #   stops at this bound (densify rounds that would overflow it drop
+    #   their appends — a logged HBM budget rail for production runs)
     max_instances: int = 0         # 0 = auto (per-shard when devices > 1)
     devices: int = 1               # 1 = single chip; N > 1 = tile-row-
     #   sharded training over an N-device mesh; 0 = all local devices

@@ -209,6 +209,14 @@ class Trainer:
             new_cap = _round_up(cap * 2, 4096)
             if self.n_devices > 1:
                 new_cap = _round_up(new_cap, self.n_devices)
+            limit = getattr(self.system, "max_capacity", 0)
+            if limit and new_cap > limit:
+                if cap >= limit:
+                    self.log(f"[cap] at max_capacity {limit} — not "
+                             f"growing (alive {n}); densify appends "
+                             f"beyond capacity will be dropped")
+                    return
+                new_cap = _round_up(limit, 4096)
             self.log(f"[cap] growing capacity {cap} -> {new_cap} "
                      f"(alive {n})")
             self.state = gmod.grow_capacity(self.state, new_cap)
@@ -392,9 +400,16 @@ class Trainer:
         iterations = iterations or opt_cfg.iterations
         first_iter = 0
         if start_checkpoint:
+            # a checkpoint from a long run can hold more Gaussians than
+            # the fresh scene-derived capacity — size to fit with growth
+            # headroom (reference restore keeps the saved tensor sizes)
+            n_ck = int(np.load(start_checkpoint)["n_alive"])
+            cap = max(self.state.capacity,
+                      _round_up(max(n_ck * 5 // 3, 4096), 4096))
+            if self.n_devices > 1:
+                cap = _round_up(cap, self.n_devices)
             self.state, self.opt_state, first_iter, self.spatial_lr_scale = \
-                ckpt.load_checkpoint(start_checkpoint,
-                                     capacity=self.state.capacity)
+                ckpt.load_checkpoint(start_checkpoint, capacity=cap)
             self.log(f"[ckpt] resumed from {start_checkpoint} at iteration "
                      f"{first_iter}")
 

@@ -1,0 +1,226 @@
+"""The full 30k-iteration production-schedule run (garden proxy).
+
+The reference's primary artifact is a complete 30k-iteration garden/lego
+training (train.py:24-151; budget arguments/__init__.py:63-78): densify
+500→15k every 100 iterations, opacity reset every 3k, c2f low-pass, SH
+degree schedule, eval at {7k, 30k}. No real Mip-NeRF-360 data exists in
+this environment, so this harness builds the max-feasible stand-in and
+runs the REAL Trainer over the full schedule on-chip:
+
+- A procedural "garden" target scene (ground disk + bushes + trunks,
+  spatial color fields + per-splat noise) of TARGET_N Gaussians at the
+  garden images_4 resolution (1297x840).
+- Ground-truth train/test views are RENDERED from that target scene, so
+  training is genuine multi-view optimization with a meaningful held-out
+  PSNR curve (targets are realizable; PSNR must improve monotonically).
+- The init point cloud is an SfM-like subsample (~150k points + noise),
+  matching the scale of garden's COLMAP sparse cloud.
+
+Run:  python -u tools/run_production_30k.py [out_dir]
+Resumes automatically from the latest chkpnt*.npz in out_dir.
+"""
+
+import dataclasses
+import glob
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+TARGET_N = 2_000_000
+WIDTH, HEIGHT = 1297, 840
+N_TRAIN, N_TEST = 60, 6
+INIT_N = 150_000
+
+
+def build_target(rng):
+    """Procedural garden-like target: positions, colors, log-scales."""
+    n = TARGET_N
+    n_ground = n // 4
+    n_trunk = n // 20
+    n_bush = n - n_ground - n_trunk
+
+    r = np.sqrt(rng.uniform(0, 1, n_ground)) * 6.0
+    th = rng.uniform(0, 2 * np.pi, n_ground)
+    ground = np.stack([r * np.cos(th),
+                       -1.2 + 0.08 * np.sin(3 * th) * r / 6 +
+                       rng.normal(0, 0.015, n_ground),
+                       r * np.sin(th)], 1)
+
+    n_clusters = 48
+    centers = np.stack([rng.uniform(-4.5, 4.5, n_clusters),
+                        rng.uniform(-0.9, 0.9, n_clusters),
+                        rng.uniform(-4.5, 4.5, n_clusters)], 1)
+    sizes = rng.uniform(0.25, 0.9, n_clusters)
+    ci = rng.integers(0, n_clusters, n_bush)
+    bush = centers[ci] + rng.normal(0, 1.0, (n_bush, 3)) * \
+        sizes[ci][:, None] * rng.uniform(0.25, 1.0, (n_bush, 1))
+
+    ti = rng.integers(0, n_clusters, n_trunk)
+    h = rng.uniform(0, 1, n_trunk)
+    trunk = np.stack([
+        centers[ti, 0] + rng.normal(0, 0.03, n_trunk),
+        -1.2 + h * (centers[ti, 1] + 1.2),
+        centers[ti, 2] + rng.normal(0, 0.03, n_trunk)], 1)
+
+    pts = np.concatenate([ground, bush, trunk]).astype(np.float32)
+
+    base = 0.5 + 0.45 * np.sin(pts * np.array([1.3, 2.1, 1.7]) +
+                               np.array([0.0, 2.1, 4.2]))
+    tint = np.zeros((n, 3), np.float32)
+    tint[:n_ground] = [0.1, 0.06, 0.02]            # earthy ground
+    tint[n_ground:n_ground + n_bush] = [-0.1, 0.12, -0.08]  # leafy bushes
+    tint[n_ground + n_bush:] = [0.05, -0.02, -0.1]          # brown trunks
+    cols = np.clip(base + tint + rng.normal(0, 0.13, (n, 3)), 0.02, 0.98
+                   ).astype(np.float32)
+
+    log_scale = np.where(rng.uniform(0, 1, n) < 0.75,
+                         rng.normal(-5.6, 0.35, n),
+                         rng.normal(-4.6, 0.3, n)).astype(np.float32)
+    return pts, cols, np.repeat(log_scale[:, None], 3, axis=1)
+
+
+def look_at_colmap(eye, target):
+    """COLMAP-convention (x right, y down, z forward) pose → (R, T) as
+    data.cameras.Camera expects (R = C2W rotation, T = W2C translation)."""
+    f = target - eye
+    f = f / np.linalg.norm(f)
+    right = np.cross(f, np.array([0.0, 1.0, 0.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(f, right)
+    down /= np.linalg.norm(down)
+    R_w2c = np.stack([right, down, f])
+    return R_w2c.T.astype(np.float32), (-R_w2c @ eye).astype(np.float32)
+
+
+def build_cameras(rng):
+    from rain_tpu.data.cameras import Camera
+    cams = []
+    n_total = N_TRAIN + N_TEST
+    for i in range(n_total):
+        ang = 2 * np.pi * i / n_total + rng.uniform(-0.02, 0.02)
+        rad = 8.0 + 1.2 * np.sin(3 * ang)
+        eye = np.array([rad * np.cos(ang),
+                        1.4 + 0.9 * np.sin(2 * ang + 1.0),
+                        rad * np.sin(ang)])
+        R, T = look_at_colmap(eye, np.array([0.0, -0.4, 0.0]))
+        cams.append(Camera(uid=i, image_name=f"view_{i:03d}", R=R, T=T,
+                           fovx=1.0, fovy=0.7, image=None,
+                           width=WIDTH, height=HEIGHT))
+    # reference-style every-Nth test split (dataset_readers.py:133-140)
+    step = n_total // N_TEST
+    test = [c for i, c in enumerate(cams) if i % step == 0][:N_TEST]
+    test_ids = {id(c) for c in test}
+    train = [c for c in cams if id(c) not in test_ids]
+    return train, test
+
+
+def render_targets(cams, pts, cols, log_scales):
+    import jax
+    import jax.numpy as jnp
+    from rain_tpu.model import gaussians as gmod
+    from rain_tpu.ops.sh import rgb_to_sh_dc
+    from rain_tpu.train import step as step_mod
+
+    n = pts.shape[0]
+    state = gmod.from_arrays(
+        xyz=pts, f_dc=rgb_to_sh_dc(cols)[:, None, :],
+        f_rest=np.zeros((n, 15, 3), np.float32),
+        scaling=log_scales,
+        rotation=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+        opacity=np.full((n, 1), 1.2, np.float32),   # sigmoid -> 0.77
+        capacity=n)
+    bg = jnp.zeros(3, jnp.float32)
+    out_imgs = []
+    t0 = time.time()
+    for i, cam in enumerate(cams):
+        camera = {k: jnp.asarray(v) for k, v in cam.render_inputs().items()}
+        out = step_mod.eval_render(
+            state, camera, bg, jnp.asarray(0.3, jnp.float32),
+            width=WIDTH, height=HEIGHT, sh_degree=3,
+            max_instances=4_194_304)
+        if bool(out.overflow):
+            raise RuntimeError(f"target render overflow at view {i}")
+        img = np.asarray(jnp.clip(out.render, 0.0, 1.0))
+        out_imgs.append(img.astype(np.float32))
+        if i == 0:
+            assert img.std() > 0.05, "target render is blank"
+            print(f"[gt] view0 mean {img.mean():.3f} std {img.std():.3f} "
+                  f"instances {int(out.num_instances)}", flush=True)
+    del state
+    print(f"[gt] rendered {len(cams)} target views in "
+          f"{time.time() - t0:.0f}s", flush=True)
+    return out_imgs
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "output/production_30k"
+    os.makedirs(out_dir, exist_ok=True)
+
+    from rain_tpu.cache import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    assert jax.default_backend() == "tpu", \
+        f"refusing to run on {jax.default_backend()} (chip not acquired?)"
+
+    from rain_tpu import config as cfg_mod
+    from rain_tpu.data.dataset import SceneData
+    from rain_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(11)
+    pts, cols, log_scales = build_target(rng)
+    train_cams, test_cams = build_cameras(rng)
+    all_cams = train_cams + test_cams
+    imgs = render_targets(all_cams, pts, cols, log_scales)
+    for cam, img in zip(all_cams, imgs):
+        cam.image = img   # plain (non-frozen) dataclass
+
+    # SfM-like init: subsampled target points + noise (garden's COLMAP
+    # sparse cloud is ~138k points)
+    sel = rng.choice(pts.shape[0], INIT_N, replace=False)
+    init_pts = pts[sel] + rng.normal(0, 0.01, (INIT_N, 3)
+                                     ).astype(np.float32)
+    init_cols = np.clip(cols[sel] + rng.normal(0, 0.05, (INIT_N, 3)),
+                        0, 1).astype(np.float32)
+    scene = SceneData(train_cameras=train_cams, test_cameras=test_cams,
+                      points=init_pts, colors=init_cols,
+                      nerf_radius=9.2, nerf_translate=np.zeros(3))
+
+    parser = cfg_mod.build_parser("production")
+    cfgs = cfg_mod.extract_all(parser.parse_args([]))
+    # the reference production budget (arguments/__init__.py:63-78) +
+    # c2f (RAIN-GS), exactly as scripts/train.py would set them
+    cfgs["rain"] = dataclasses.replace(
+        cfgs["rain"], c2f=True, c2f_every_step=1000.0,
+        c2f_max_lowpass=300.0)
+    cfgs["system"] = dataclasses.replace(
+        cfgs["system"], log_every=50, max_capacity=1 << 23)
+
+    trainer = Trainer(scene, cfgs, out_dir)
+    resume = sorted(glob.glob(os.path.join(out_dir, "chkpnt*.npz")),
+                    key=lambda p: int(re.findall(r"\d+", p)[-1]))
+    start = resume[-1] if resume else None
+    if start:
+        print(f"[resume] from {start}", flush=True)
+
+    t0 = time.time()
+    trainer.train(
+        iterations=30_000,
+        test_iterations=(1000, 3000, 7000, 15000, 22500, 30000),
+        save_iterations=(7000, 30000),
+        checkpoint_iterations=(5000, 10000, 15000, 20000, 25000, 30000),
+        start_checkpoint=start)
+    dt = time.time() - t0
+    print(f"\n[done] 30k production schedule complete in {dt / 3600:.2f} h "
+          f"({30000 / dt:.2f} it/s overall incl. compiles); final "
+          f"population {int(trainer.state.n_alive)} "
+          f"capacity {trainer.state.capacity} "
+          f"instance tier {trainer.max_instances}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,12 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5):
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
-    """SSIM over [C, H, W] (or [N, C, H, W]) images, mean-reduced.
+    """SSIM over [C, H, W] (or [N, C, H, W]) images, mean-reduced."""
+    return ssim_map(img1, img2, window_size).mean()
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
+    """Per-pixel SSIM map [N, C, H, W].
 
     The reference convolves each of 5 moment images with a full 11x11
     Gaussian window (utils/loss_utils.py:22-52). The window is an outer
@@ -81,9 +86,8 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11):
     sigma12 = out[:, 4 * c:5 * c] - mu1_mu2
     c1 = 0.01 ** 2
     c2 = 0.03 ** 2
-    ssim_map = (((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) /
-                ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))
-    return ssim_map.mean()
+    return (((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) /
+            ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray):
@@ -99,4 +103,33 @@ def training_loss(image, gt, lambda_dssim: float = 0.2):
     """(1-λ)·L1 + λ·(1-SSIM)  (train.py:113-114). Returns (loss, l1)."""
     ll1 = l1_loss(image, gt)
     loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt))
+    return loss, ll1
+
+
+def masked_training_loss(image, gt, real_w, real_h,
+                         lambda_dssim: float = 0.2):
+    """Bucketed training loss over a tile-padded render target.
+
+    image/gt are [3, BH, BW] with the live image occupying the top-left
+    (real_h, real_w) region — real_w/real_h may be TRACED scalars, so one
+    compiled step serves every camera in a size bucket (the reference
+    rasterizer takes H/W at runtime and pays zero recompiles,
+    utils/camera_utils.py:8-41). gt must be zero beyond the real region.
+    Bit-equal to ``training_loss(image[:, :h, :w], gt[:, :h, :w])``: both
+    inputs are zeroed outside the real region, which reproduces the SSIM
+    convolution's zero padding at the real image boundary, and the means
+    divide by the real pixel count. Returns (loss, l1).
+    """
+    bh, bw = image.shape[-2], image.shape[-1]
+    mask = ((jnp.arange(bh) < real_h)[:, None] &
+            (jnp.arange(bw) < real_w)[None, :])
+    img = image * mask[None]
+    gt = gt * mask[None]
+    n_pix = (3.0 * jnp.asarray(real_h, jnp.float32) *
+             jnp.asarray(real_w, jnp.float32))
+    ll1 = jnp.sum(jnp.abs(img - gt)) / n_pix
+    # pad pixels have ssim_map == 1 (0/0 regularized) — mask before the sum
+    sm = ssim_map(img, gt)[0]
+    ssim_v = jnp.sum(sm * mask[None]) / n_pix
+    loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim_v)
     return loss, ll1

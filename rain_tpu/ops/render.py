@@ -179,15 +179,24 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
            xy_tap: jnp.ndarray | None = None,
            colors_override: jnp.ndarray | None = None,
            cov3d_override: jnp.ndarray | None = None,
-           need_depth: bool = True) -> RenderOutput:
+           need_depth: bool = True,
+           render_wh=None) -> RenderOutput:
     """Render one view. All post-activation inputs (see model.gaussians).
 
     camera: dict from data.cameras.Camera.render_inputs().
     need_depth=False (training steps) returns a zero depth channel.
+    render_wh: optional (w, h) TRACED scalars of the true image size —
+      width/height then define the static render-bucket extent (tile
+      aligned padding) and all size-dependent VALUES (focal lengths,
+      NDC→pixel scaling, loss normalization in the caller) use the traced
+      size, so one compiled graph serves every camera in the bucket.
+      Output arrays are bucket-sized; rows/cols beyond the true size are
+      dead pixels the caller masks.
     """
     grid_x = (width + TILE - 1) // TILE
     grid_y = (height + TILE - 1) // TILE
 
+    rw, rh = (width, height) if render_wh is None else render_wh
     prep = proj_ops.preprocess(
         means3d, scales_act, quats_act, opacity_act, shs, alive,
         sh_degree=sh_degree,
@@ -195,7 +204,8 @@ def render(means3d, scales_act, quats_act, opacity_act, shs, alive,
         full_proj=camera["full_proj"],
         camera_center=camera["camera_center"],
         tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
-        width=width, height=height,
+        width=rw, height=rh,
+        tile_bounds=(0, 0, grid_x, grid_y),
         low_pass=low_pass, scale_modifier=scale_modifier,
         colors_override=colors_override, cov3d_override=cov3d_override)
 

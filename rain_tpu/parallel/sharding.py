@@ -60,6 +60,7 @@ from rain_tpu.ops import binning as binning_ops
 from rain_tpu.ops import losses as loss_ops
 from rain_tpu.ops import projection as proj_ops
 from rain_tpu.ops import render as render_ops
+from rain_tpu.ops import sh as sh_ops
 from rain_tpu.ops import tile_render
 from rain_tpu.ops.projection import TILE
 
@@ -191,18 +192,34 @@ def make_sharded_train_step(mesh: Mesh, *, width: int, height: int,
                 full_proj=camera["full_proj"],
                 camera_center=camera["camera_center"],
                 tan_fovx=camera["tanfovx"], tan_fovy=camera["tanfovy"],
-                width=width, height=height, low_pass=low_pass)
+                width=width, height=height, low_pass=low_pass,
+                colors_override=jnp.zeros((p.xyz.shape[0], 3),
+                                          jnp.float32))
             xy = prep.xy + tap
-            table10_sh = jnp.stack([
-                prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
-                xy[:, 0], xy[:, 1], prep.opacity,
-                prep.rgb[:, 0], prep.rgb[:, 1], prep.rgb[:, 2],
-                prep.depth], axis=0)                     # [10, cap/D]
-            # compact per-Gaussian streams → full capacity on every chip
+            # compact per-Gaussian streams → full capacity on every chip.
+            # The streams are gathered in TWO collectives so the heavy
+            # geometry gather (28 B/Gaussian) has no data dependency on
+            # the SH color evaluation: XLA's latency-hiding scheduler
+            # overlaps the geometry all-gather's ICI transfer with the
+            # local SH compute (deg-3: 16 basis x 3 channels per
+            # Gaussian), instead of serializing collective-after-compute
+            # as a single fused [10, cap] gather must (SURVEY §2 "overlap
+            # via async collective"). The transpose stays two
+            # psum_scatters — same per-row reductions, exactness
+            # unchanged (tests/test_sharding.py).
             # (tiles_touched is NOT gathered: the band restriction below
             # recomputes each rect's in-band tile count from the rects)
-            table10 = jax.lax.all_gather(table10_sh, AXIS, axis=1,
-                                         tiled=True)
+            table7_sh = jnp.stack([
+                prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2],
+                xy[:, 0], xy[:, 1], prep.opacity,
+                prep.depth], axis=0)                     # [7, cap/D]
+            table7 = jax.lax.all_gather(table7_sh, AXIS, axis=1,
+                                        tiled=True)
+            rgb_sh = sh_ops.sh_to_rgb(sh_degree, shs, p.xyz,
+                                      camera["camera_center"])
+            rgb3 = jax.lax.all_gather(rgb_sh.T, AXIS, axis=1, tiled=True)
+            table10 = jnp.concatenate(
+                [table7[:6], rgb3, table7[6:7]], axis=0)
             rmin = jax.lax.all_gather(prep.rect_min, AXIS, axis=0,
                                       tiled=True)
             rwh = jax.lax.all_gather(prep.rect_wh, AXIS, axis=0,

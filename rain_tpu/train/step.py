@@ -38,12 +38,19 @@ def train_step(state: gmod.GaussianState, opt: adam_mod.AdamState,
                low_pass, xyz_lr, *,
                width: int, height: int, sh_degree: int, max_instances: int,
                opt_cfg_leaves: dict, lambda_dssim: float = 0.2,
-               update_densify_stats: bool = True):
+               update_densify_stats: bool = True,
+               real_wh=None):
     """One optimization step on one camera.
 
     opt_cfg_leaves: dict with feature_lr/opacity_lr/scaling_lr/rotation_lr
     (hashable python floats, closed over by jit as static via dict of
     weak-typed scalars — passed as a plain dict of floats).
+
+    real_wh: optional (w, h) TRACED scalars — width/height are then the
+    static tile-aligned size BUCKET, gt_image is zero-padded to it, and
+    the loss masks to the true size: one compiled step serves every
+    camera in the bucket (the reference pays zero recompiles because its
+    rasterizer takes H/W at runtime, utils/camera_utils.py:8-41).
     """
     cap = state.capacity
     alive = gmod.alive_mask(state)
@@ -55,9 +62,15 @@ def train_step(state: gmod.GaussianState, opt: adam_mod.AdamState,
             camera=camera, width=width, height=height,
             sh_degree=sh_degree, bg=bg, low_pass=low_pass,
             max_instances=max_instances, xy_tap=tap,
-            need_depth=False)   # training loss never reads depth
-        loss, l1 = loss_ops.training_loss(out.render, gt_image,
-                                          lambda_dssim)
+            need_depth=False,   # training loss never reads depth
+            render_wh=real_wh)
+        if real_wh is None:
+            loss, l1 = loss_ops.training_loss(out.render, gt_image,
+                                              lambda_dssim)
+        else:
+            loss, l1 = loss_ops.masked_training_loss(
+                out.render, gt_image, real_wh[0], real_wh[1],
+                lambda_dssim)
         return loss, (l1, out)
 
     tap0 = jnp.zeros((cap, 2), jnp.float32)
@@ -65,8 +78,10 @@ def train_step(state: gmod.GaussianState, opt: adam_mod.AdamState,
         loss_fn, argnums=(0, 1), has_aux=True)(state.params, tap0)
 
     if update_densify_stats:
+        # NDC grad rescale must use the TRUE image size, not the bucket
+        rw, rh = (width, height) if real_wh is None else real_wh
         state = densify_mod.add_densification_stats(
-            state, tap_grad, out.radii, width, height)
+            state, tap_grad, out.radii, rw, rh)
 
     lrs = gmod.GaussianParams(
         xyz=xyz_lr,

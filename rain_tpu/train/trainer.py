@@ -160,6 +160,18 @@ class Trainer:
             a, _, b = spec.partition("-")
             self._profile_range = (int(a), int(b or a))
 
+        # Resolution bucketing: with heterogeneous camera sizes (COLMAP
+        # scenes with per-camera rounding, dataset.py:57-68) every
+        # distinct (w, h) would trigger a full XLA recompile of the step.
+        # Instead cameras are padded to tile-aligned size buckets and the
+        # step masks the loss to the true size (train_step real_wh) — one
+        # compile per bucket, not per size. Single-size scenes keep the
+        # exact-size step (zero padding overhead); the sharded step
+        # (devices > 1) keeps exact sizes too.
+        sizes = {(c.width, c.height) for c in scene.train_cameras}
+        self._bucketed = len(sizes) > 1 and self.n_devices == 1
+        self._bucket_keys = set()
+
         self.iteration = 0
         self.low_pass = 0.3
         self.ema_loss = 0.0
@@ -186,9 +198,18 @@ class Trainer:
             limit = self.system.camera_cache
             if limit and len(self._cam_arrays) >= limit:
                 self._cam_arrays.popitem(last=False)
+            img = cam.image
+            if img is not None and self._bucketed:
+                # zero-pad the GT to the camera's tile bucket (the step's
+                # masked loss requires zeros beyond the true size)
+                bw, bh = _round_up(cam.width, 16), _round_up(cam.height, 16)
+                if (bw, bh) != (cam.width, cam.height):
+                    padded = np.zeros((3, bh, bw), np.float32)
+                    padded[:, :cam.height, :cam.width] = img
+                    img = padded
             self._cam_arrays[cam.uid] = (
                 {k: jnp.asarray(v) for k, v in cam.render_inputs().items()},
-                jnp.asarray(cam.image) if cam.image is not None else None)
+                jnp.asarray(img) if img is not None else None)
         return self._cam_arrays[cam.uid]
 
     def _next_camera(self):
@@ -233,8 +254,14 @@ class Trainer:
                 [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)])
         return jax.tree.map(pad, params)
 
-    def _grow_instances(self):
+    def _grow_instances(self, min_needed: int = 0):
+        """Grow the instance tier; with the overflow step's reported
+        instance count, jump straight to the first ladder tier that fits
+        (each intermediate tier would cost a discarded step + a full XLA
+        recompile)."""
         self.max_instances = _next_instance_tier(self.max_instances)
+        while self.max_instances < min_needed:
+            self.max_instances = _next_instance_tier(self.max_instances)
         if self.max_instances > (1 << 27):
             raise MemoryError(
                 f"instance tier {self.max_instances} exceeds the 2^27 "
@@ -272,14 +299,24 @@ class Trainer:
                 self.state, self.opt_state, cam_arrays, gt, bg,
                 lp, lr, opt_leaves)
         else:
+            if self._bucketed:
+                width = _round_up(cam.width, 16)
+                height = _round_up(cam.height, 16)
+                self._bucket_keys.add((width, height))
+                real_wh = (jnp.asarray(cam.width, jnp.int32),
+                           jnp.asarray(cam.height, jnp.int32))
+            else:
+                width, height = cam.width, cam.height
+                real_wh = None
             state, opt, aux = step_mod.train_step(
                 self.state, self.opt_state, cam_arrays, gt, bg,
                 lp, lr,
-                width=cam.width, height=cam.height, sh_degree=sh_deg,
+                width=width, height=height, sh_degree=sh_deg,
                 max_instances=self.max_instances,
                 opt_cfg_leaves=opt_leaves,
                 lambda_dssim=self.opt_cfg.lambda_dssim,
-                update_densify_stats=update_stats)
+                update_densify_stats=update_stats,
+                real_wh=real_wh)
         return state, opt, _pack_flags(aux)
 
     def _enqueue_step(self, args):
@@ -321,7 +358,7 @@ class Trainer:
                      f"step(s) and retrying at a larger tier")
             self.state, self.opt_state = prev_state, prev_opt
             self._pending = None
-            self._grow_instances()
+            self._grow_instances(min_needed=int(ninst))
             verified = self._run_step_sync(args, iteration)
             if later is not None:
                 l_iter, _, _, l_args = later
@@ -352,7 +389,7 @@ class Trainer:
                 self.log(f"[cap] instance overflow at iter {iteration} "
                          f"({int(ninst)} > {self.max_instances}) — "
                          f"discarding step and retrying at a larger tier")
-                self._grow_instances()
+                self._grow_instances(min_needed=int(ninst))
                 continue
             if not np.isfinite(loss):
                 dump = self.model_path / f"snapshot_iter{iteration}.npz"
@@ -599,6 +636,9 @@ class Trainer:
                 cam_arrays, gt = self._camera_bundle(cam)
                 if gt is None:
                     continue
+                # bucketed training pads the cached GT; eval renders at
+                # the exact camera size
+                gt = gt[:, :cam.height, :cam.width]
                 out = step_mod.eval_render(
                     self.state, cam_arrays, self.background,
                     jnp.asarray(self.low_pass, jnp.float32),

@@ -21,6 +21,10 @@ TIERS = {
     "1m-wide": (1 << 20, 1 << 22, -5.2),
     "4m": (1 << 22, 6_291_456, -5.9),
     "4m-pow2": (1 << 22, 1 << 23, -5.9),
+    # SURVEY hard-part #3 headroom proof: 8.4M Gaussians at the 2^24
+    # instance tier (~13M instances) — the single-chip HBM ceiling
+    # argued in docs/PERF.md, beyond which per-shard tiers take over
+    "8m-16minst": (1 << 23, 1 << 24, -5.9),
 }
 
 

@@ -164,3 +164,26 @@ def test_stats_accumulation():
     assert (accum[~vis] == 0).all()
     np.testing.assert_array_equal(np.asarray(s2.denom),
                                   vis.astype(np.float32))
+
+
+def test_instance_tier_ladder():
+    """Half-step tier ladder {2^k, 3*2^(k-1)} (trainer._next_instance_tier)
+    and the direct jump to the tier fitting a reported overflow count."""
+    from rain_tpu.train.trainer import _next_instance_tier
+    m = 262144
+    seq = [m]
+    for _ in range(6):
+        m = _next_instance_tier(m)
+        seq.append(m)
+    assert seq == [262144, 393216, 524288, 786432, 1048576, 1572864,
+                   2097152]
+    # every ladder value stays compatible with the expansion chunk
+    from rain_tpu.ops import binning
+    for v in seq:
+        assert binning._expand_chunk(v) > 0
+
+    # the overflow jump: from 1.25M straight past 3.72M
+    m = 1245184
+    while m < 3720126:
+        m = _next_instance_tier(m)
+    assert m == 4194304

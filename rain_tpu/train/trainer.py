@@ -498,6 +498,26 @@ class Trainer:
                                    (time.time() - t_iter0) * 1000.0,
                                    iteration)
 
+            # eval + PLY snapshot BEFORE densify/reset, like the
+            # reference (training_report and scene.save at train.py:
+            # 127-130 precede densify_and_prune/reset_opacity at
+            # :136-143 — an eval landing on an opacity-reset iteration
+            # must see the pre-reset model, or its PSNR craters)
+            if iteration in test_iterations:
+                self.flush_pending()
+                self.report(iteration)
+            # flush/gather run on EVERY process (flush can re-dispatch a
+            # collective program on overflow; the gather IS a
+            # collective) — only the file writes are proc-0-gated
+            if iteration in save_iterations:
+                self.flush_pending()
+                state = self._host_local(self.state)
+                if self.is_proc0:
+                    path = (self.model_path / "point_cloud" /
+                            f"iteration_{iteration}" / "point_cloud.ply")
+                    ckpt.save_ply_snapshot(path, state)
+                    self.log(f"[{iteration}] saved {path}")
+
             # densification cadence (train.py:132-143)
             if in_densify and iteration > opt_cfg.densify_from_iter and \
                     iteration % opt_cfg.densification_interval == 0:
@@ -547,20 +567,6 @@ class Trainer:
                              f"gaussians {aux.n_alive} "
                              f"it/s {iteration / max(dt, 1e-9):.2f}")
 
-            if iteration in test_iterations:
-                self.flush_pending()
-                self.report(iteration)
-            # flush/gather run on EVERY process (flush can re-dispatch a
-            # collective program on overflow; the gather IS a
-            # collective) — only the file writes are proc-0-gated
-            if iteration in save_iterations:
-                self.flush_pending()
-                state = self._host_local(self.state)
-                if self.is_proc0:
-                    path = (self.model_path / "point_cloud" /
-                            f"iteration_{iteration}" / "point_cloud.ply")
-                    ckpt.save_ply_snapshot(path, state)
-                    self.log(f"[{iteration}] saved {path}")
             if iteration in checkpoint_iterations:
                 self.flush_pending()
                 state, opt = self._host_local((self.state, self.opt_state))

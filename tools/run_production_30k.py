@@ -31,14 +31,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-TARGET_N = 2_000_000
+TARGET_N = 600_000
 WIDTH, HEIGHT = 1297, 840
 N_TRAIN, N_TEST = 60, 6
 INIT_N = 150_000
 
 
+def _color_field(pts, rng):
+    """Spatially-structured multi-octave color field (NOT iid noise: an
+    iid-colored sub-pixel target composites to unfittable pixel noise —
+    the production schedule then prunes the whole model after the first
+    opacity reset, measured in attempt 1 of this run)."""
+    n = pts.shape[0]
+    cols = np.empty((n, 3), np.float32)
+    freqs = [(1.3, 0.9, 1.1), (4.1, 3.7, 3.3), (11.0, 9.0, 10.0)]
+    amps = [0.25, 0.16, 0.11]
+    for ch in range(3):
+        v = 0.47 + 0.05 * ch
+        for (fx, fy, fz), a in zip(freqs, amps):
+            ph = rng.uniform(0, 2 * np.pi, 3)
+            v = v + a * np.sin(fx * pts[:, 0] + ph[0]) * \
+                np.sin(fy * pts[:, 1] + ph[1]) * \
+                np.sin(fz * pts[:, 2] + ph[2])
+        cols[:, ch] = v
+    return cols
+
+
 def build_target(rng):
-    """Procedural garden-like target: positions, colors, log-scales."""
+    """Procedural garden-like target: positions, colors, log-scales.
+
+    Splats are sized 2-6 px at the camera ring distance with ~1-2 per
+    pixel footprint and locally-coherent colors, so the target is
+    genuinely FITTABLE: refining it rewards more, smaller splats — the
+    regime the reference's densification schedule is built for."""
     n = TARGET_N
     n_ground = n // 4
     n_trunk = n // 20
@@ -69,18 +94,18 @@ def build_target(rng):
 
     pts = np.concatenate([ground, bush, trunk]).astype(np.float32)
 
-    base = 0.5 + 0.45 * np.sin(pts * np.array([1.3, 2.1, 1.7]) +
-                               np.array([0.0, 2.1, 4.2]))
     tint = np.zeros((n, 3), np.float32)
     tint[:n_ground] = [0.1, 0.06, 0.02]            # earthy ground
     tint[n_ground:n_ground + n_bush] = [-0.1, 0.12, -0.08]  # leafy bushes
     tint[n_ground + n_bush:] = [0.05, -0.02, -0.1]          # brown trunks
-    cols = np.clip(base + tint + rng.normal(0, 0.13, (n, 3)), 0.02, 0.98
+    cols = np.clip(_color_field(pts, rng) + tint +
+                   rng.normal(0, 0.04, (n, 3)), 0.02, 0.98
                    ).astype(np.float32)
 
-    log_scale = np.where(rng.uniform(0, 1, n) < 0.75,
-                         rng.normal(-5.6, 0.35, n),
-                         rng.normal(-4.6, 0.3, n)).astype(np.float32)
+    # 2-3 px splats (80%) + 5-8 px washes (20%) at the ring distance
+    log_scale = np.where(rng.uniform(0, 1, n) < 0.8,
+                         rng.normal(-4.1, 0.25, n),
+                         rng.normal(-3.3, 0.3, n)).astype(np.float32)
     return pts, cols, np.repeat(log_scale[:, None], 3, axis=1)
 
 
@@ -212,7 +237,7 @@ def main():
         iterations=30_000,
         test_iterations=(1000, 3000, 7000, 15000, 22500, 30000),
         save_iterations=(7000, 30000),
-        checkpoint_iterations=(5000, 10000, 15000, 20000, 25000, 30000),
+        checkpoint_iterations=tuple(range(2000, 30001, 2000)),
         start_checkpoint=start)
     dt = time.time() - t0
     print(f"\n[done] 30k production schedule complete in {dt / 3600:.2f} h "

@@ -8,16 +8,24 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=docs/runs/production_30k_r5.log
 OUT=output/production_30k
+# hard wall-clock deadline (epoch seconds): never hold the chip into
+# the end-of-round benchmark window
+DEADLINE=${RUN_DEADLINE:-$(( $(date +%s) + 16200 ))}
 
 for attempt in 1 2 3 4 5 6 7 8; do
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "[watchdog] deadline reached — stopping" >> "$LOG"
+    exit 1
+  fi
   echo "[watchdog] attempt $attempt $(date +%H:%M:%S)" >> "$LOG"
   setsid python -u tools/run_production_30k.py "$OUT" >> "$LOG" 2>&1 &
   PID=$!
   while kill -0 "$PID" 2>/dev/null; do
     sleep 120
     age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    if [ "$age" -gt 900 ]; then
-      echo "[watchdog] log stalled ${age}s — killing pgid $PID" >> "$LOG"
+    if [ "$age" -gt 900 ] || [ "$(date +%s)" -ge "$DEADLINE" ]; then
+      echo "[watchdog] stall ${age}s / deadline — killing pgid $PID" \
+        >> "$LOG"
       kill -9 -- "-$PID" 2>/dev/null || kill -9 "$PID" 2>/dev/null
       sleep 60
       break

@@ -44,8 +44,13 @@ def _color_field(pts, rng):
     opacity reset, measured in attempt 1 of this run)."""
     n = pts.shape[0]
     cols = np.empty((n, 3), np.float32)
-    freqs = [(1.3, 0.9, 1.1), (4.1, 3.7, 3.3), (11.0, 9.0, 10.0)]
-    amps = [0.25, 0.16, 0.11]
+    # wavelengths from ~5 world units down to ~0.1 (≈15 px at the ring
+    # distance): the finest octaves sit at/below the model's splat
+    # scale, so resolving them genuinely requires densification — the
+    # error regime the reference schedule is built for
+    freqs = [(1.3, 0.9, 1.1), (4.1, 3.7, 3.3), (11.0, 9.0, 10.0),
+             (27.0, 23.0, 25.0), (61.0, 53.0, 57.0)]
+    amps = [0.22, 0.15, 0.11, 0.10, 0.09]
     for ch in range(3):
         v = 0.47 + 0.05 * ch
         for (fx, fy, fz), a in zip(freqs, amps):
@@ -98,8 +103,10 @@ def build_target(rng):
     tint[:n_ground] = [0.1, 0.06, 0.02]            # earthy ground
     tint[n_ground:n_ground + n_bush] = [-0.1, 0.12, -0.08]  # leafy bushes
     tint[n_ground + n_bush:] = [0.05, -0.02, -0.1]          # brown trunks
+    # per-splat jitter at target-splat (2-3 px) granularity = the
+    # photo-like texture floor that keeps densification selecting
     cols = np.clip(_color_field(pts, rng) + tint +
-                   rng.normal(0, 0.04, (n, 3)), 0.02, 0.98
+                   rng.normal(0, 0.12, (n, 3)), 0.02, 0.98
                    ).astype(np.float32)
 
     # 2-3 px splats (80%) + 5-8 px washes (20%) at the ring distance

@@ -35,6 +35,11 @@ TARGET_N = 600_000
 WIDTH, HEIGHT = 1297, 840
 N_TRAIN, N_TEST = 60, 6
 INIT_N = 150_000
+# camera ring radius and a log-shift applied to all target scales —
+# together they set where the MODEL's splat sizes land relative to the
+# schedule's 20 px size-prune / percent_dense split boundaries
+RING_R = float(os.environ.get("RUN_RING_RADIUS", "8.0"))
+SCALE_SHIFT = float(os.environ.get("RUN_TARGET_SCALE_SHIFT", "0.0"))
 
 
 def _color_field(pts, rng):
@@ -113,6 +118,7 @@ def build_target(rng):
     log_scale = np.where(rng.uniform(0, 1, n) < 0.8,
                          rng.normal(-4.1, 0.25, n),
                          rng.normal(-3.3, 0.3, n)).astype(np.float32)
+    log_scale = log_scale + SCALE_SHIFT
     return pts, cols, np.repeat(log_scale[:, None], 3, axis=1)
 
 
@@ -135,7 +141,7 @@ def build_cameras(rng):
     n_total = N_TRAIN + N_TEST
     for i in range(n_total):
         ang = 2 * np.pi * i / n_total + rng.uniform(-0.02, 0.02)
-        rad = 8.0 + 1.2 * np.sin(3 * ang)
+        rad = RING_R + 1.2 * np.sin(3 * ang)
         eye = np.array([rad * np.cos(ang),
                         1.4 + 0.9 * np.sin(2 * ang + 1.0),
                         rad * np.sin(ang)])
@@ -220,7 +226,8 @@ def main():
                         0, 1).astype(np.float32)
     scene = SceneData(train_cameras=train_cams, test_cameras=test_cams,
                       points=init_pts, colors=init_cols,
-                      nerf_radius=9.2, nerf_translate=np.zeros(3))
+                      nerf_radius=RING_R * 1.15,
+                      nerf_translate=np.zeros(3))
 
     parser = cfg_mod.build_parser("production")
     cfgs = cfg_mod.extract_all(parser.parse_args([]))

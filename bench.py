@@ -100,9 +100,34 @@ def run_tier(n, max_instances, log_scale, iters):
     return iters / dt, num_instances
 
 
+def _ensure_tpu():
+    """The experimental axon tunnel's backend init fails SILENTLY (falls
+    back to CPU) when another process holds or just released the chip;
+    the 4m tier would then never finish. Re-exec this process (backend
+    init is once-per-process) with a cooldown until the TPU attaches."""
+    import jax
+    if jax.default_backend() == "tpu" or \
+            os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    tries = int(os.environ.get("BENCH_TPU_RETRY", "0"))
+    if tries >= 8:
+        print(json.dumps({
+            "metric": "garden-proxy train step", "value": 0.0,
+            "unit": "iters/s", "vs_baseline": 0.0,
+            "error": "TPU backend unavailable after 8 attempts "
+                     f"(default_backend={jax.default_backend()})"}))
+        sys.exit(1)
+    os.environ["BENCH_TPU_RETRY"] = str(tries + 1)
+    sys.stderr.write(f"[bench] backend={jax.default_backend()}, retrying "
+                     f"TPU attach ({tries + 1}/8) in 45s\n")
+    time.sleep(45)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     from rain_tpu.cache import enable_compile_cache
     enable_compile_cache()
+    _ensure_tpu()
     import jax.numpy as jnp
 
     # absorb the one-time first-device-to-host-fetch latency of the

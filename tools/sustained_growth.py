@@ -59,7 +59,13 @@ def main():
         densify_until_iter=10 ** 9, opacity_reset_interval=10 ** 9)
     cfgs["system"] = dataclasses.replace(
         cfgs["system"], capacity=n, max_instances=1 << 20, log_every=50,
-        max_capacity=1 << 23)
+        # measured single-chip ceiling (round 5): the pipelined Trainer
+        # holds TWO state generations for overflow rollback, so capacity
+        # 4.19M OOMs at compile (16.10 of 15.75 GB HBM); 2.5M capacity +
+        # the ~4-6M instance tiers it implies fits with margin. Larger
+        # populations are the sharded mode's job (per-shard capacity AND
+        # tier, parallel/sharding.py).
+        max_capacity=2_500_000)
     trainer = Trainer(scene, cfgs, out, tensorboard=False)
     trainer.state = trainer.state._replace(
         params=trainer.state.params._replace(

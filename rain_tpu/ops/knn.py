@@ -79,9 +79,11 @@ def mean_dist3(points: jnp.ndarray, window: int = 64) -> jnp.ndarray:
     but cluster-boundary points whose true neighbors are Morton-distant
     overestimate substantially — rel err mean ≈ 0.17-0.21, p99 ≈ 2.3x
     at N=40k-1M (scale-space, i.e. sqrt, err mean ≈ 8%). The reference
-    is exact at any N via its box-rejection full sweep; prefer the exact
-    path (mean_dist3_auto raises its limit as far as HBM allows) and
-    treat this as the o(N²) fallback.
+    is exact at any N via its box-rejection full sweep; the exact path
+    is preferred up to its measured device limit (mean_dist3_matmul
+    runs at N=2^20 in 35 s on v5e but hits a reproducible TPU kernel
+    fault by N=1.5M — mean_dist3_auto's 2^20 switch point), and this
+    window search is the o(N²) fallback beyond it.
 
     Args:
       points: [N, 3] float32.

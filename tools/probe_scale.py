@@ -21,9 +21,10 @@ TIERS = {
     "1m-wide": (1 << 20, 1 << 22, -5.2),
     "4m": (1 << 22, 6_291_456, -5.9),
     "4m-pow2": (1 << 22, 1 << 23, -5.9),
-    # SURVEY hard-part #3 headroom proof: 8.4M Gaussians at the 2^24
-    # instance tier (~13M instances) — the single-chip HBM ceiling
-    # argued in docs/PERF.md, beyond which per-shard tiers take over
+    # SURVEY hard-part #3 headroom probe: 8.4M Gaussians at the 2^24
+    # instance tier. MEASURED round 5: RESOURCE_EXHAUSTED on the 16 GB
+    # v5e — past the single-chip ceiling (docs/PERF.md), where the
+    # sharded mode's per-shard capacities/tiers take over.
     "8m-16minst": (1 << 23, 1 << 24, -5.9),
 }
 
